@@ -1,0 +1,194 @@
+"""Pure-numpy connected components + box algebra.
+
+Re-implements, without cv2, the geometric kernels the reference gets from
+OpenCV/numpy:
+
+- ``connected_components``   ~ cv2.connectedComponentsWithStats
+  (/root/reference/kiri_ocr/detector/legacy/detector.py:501,575 — the core
+  line-segmentation primitive), run-based two-pass union-find,
+  8-connectivity.
+- ``iou`` / ``nms``          ~ the IoU dedup pass
+  (/root/reference/kiri_ocr/detector/legacy/detector.py:679-729).
+- ``merge_overlapping``      ~ the vertical-overlap merge fold
+  (/root/reference/kiri_ocr/detector/__init__.py:331-367).
+- ``filter_components``      ~ the size/aspect predicates
+  (/root/reference/kiri_ocr/detector/legacy/detector.py:624-677).
+
+All of these run per-image *inside* Arrow-vectorized UDFs — they are the
+kernel layer, not table operators (SURVEY.md §2.2/§2.7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# boxes are (N, 5) float arrays: x, y, w, h, confidence
+
+
+def connected_components(binary: np.ndarray) -> np.ndarray:
+    """8-connected components of a boolean image.
+
+    Returns int32 label image, 0 = background, labels 1..n contiguous.
+    Run-based two-pass union-find: runs of foreground per row, merged with
+    overlapping/adjacent runs of the previous row (8-connectivity widens
+    the overlap window by 1 pixel each side).
+    """
+    h, w = binary.shape
+    labels = np.zeros((h, w), dtype=np.int32)
+    parent: list[int] = [0]  # parent[i] for union-find; 0 unused
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    prev_runs: list[tuple[int, int, int]] = []  # (start, end_exclusive, label)
+    next_label = 1
+    padded = np.zeros(w + 2, dtype=np.int8)
+    for y in range(h):
+        padded[1:-1] = binary[y]
+        diff = np.diff(padded)
+        starts = np.flatnonzero(diff == 1)
+        ends = np.flatnonzero(diff == -1)
+        runs: list[tuple[int, int, int]] = []
+        for s, e in zip(starts, ends):
+            lab = 0
+            for ps, pe, pl in prev_runs:
+                # 8-connectivity: adjacency window extends 1px diagonally
+                if ps < e + 1 and pe > s - 1:
+                    if lab == 0:
+                        lab = pl
+                    else:
+                        union(lab, pl)
+            if lab == 0:
+                lab = next_label
+                parent.append(lab)
+                next_label += 1
+            labels[y, s:e] = lab
+            runs.append((int(s), int(e), lab))
+        prev_runs = runs
+    if next_label == 1:
+        return labels
+    # flatten union-find + relabel contiguously
+    roots = np.array([find(i) for i in range(next_label)], dtype=np.int32)
+    uniq = np.unique(roots[1:])
+    remap = np.zeros(next_label, dtype=np.int32)
+    remap[uniq] = np.arange(1, len(uniq) + 1, dtype=np.int32)
+    return remap[roots[labels]]
+
+
+def component_stats(labels: np.ndarray) -> np.ndarray:
+    """(n, 5) int array of x, y, w, h, area for labels 1..n."""
+    n = int(labels.max())
+    if n == 0:
+        return np.zeros((0, 5), dtype=np.int64)
+    ys, xs = np.nonzero(labels)
+    labs = labels[ys, xs]
+    order = np.argsort(labs, kind="stable")
+    labs, ys, xs = labs[order], ys[order], xs[order]
+    bounds = np.searchsorted(labs, np.arange(1, n + 2))
+    out = np.zeros((n, 5), dtype=np.int64)
+    for i in range(n):
+        lo, hi = bounds[i], bounds[i + 1]
+        x0, x1 = xs[lo:hi].min(), xs[lo:hi].max()
+        y0, y1 = ys[lo:hi].min(), ys[lo:hi].max()
+        out[i] = (x0, y0, x1 - x0 + 1, y1 - y0 + 1, hi - lo)
+    return out
+
+
+def iou(a: np.ndarray, b: np.ndarray) -> float:
+    """IoU of two (x, y, w, h) boxes (reference legacy/detector.py:708-729)."""
+    ax2, ay2 = a[0] + a[2], a[1] + a[3]
+    bx2, by2 = b[0] + b[2], b[1] + b[3]
+    ix = max(0.0, min(ax2, bx2) - max(a[0], b[0]))
+    iy = max(0.0, min(ay2, by2) - max(a[1], b[1]))
+    inter = ix * iy
+    union_area = a[2] * a[3] + b[2] * b[3] - inter
+    return float(inter / union_area) if union_area > 0 else 0.0
+
+
+def nms(boxes: np.ndarray, iou_threshold: float = 0.5) -> np.ndarray:
+    """Keep highest-confidence box per IoU>threshold cluster.
+
+    Mirrors the legacy dedup (legacy/detector.py:679-706): sort by
+    confidence desc, greedily suppress overlapping boxes.
+    """
+    if len(boxes) == 0:
+        return boxes
+    order = np.argsort(-boxes[:, 4], kind="stable")
+    kept: list[int] = []
+    for idx in order:
+        if all(iou(boxes[idx, :4], boxes[k, :4]) <= iou_threshold for k in kept):
+            kept.append(int(idx))
+    return boxes[np.array(sorted(kept), dtype=np.int64)]
+
+
+def merge_overlapping(boxes: np.ndarray, overlap_frac: float = 0.3) -> np.ndarray:
+    """Order-dependent vertical-overlap merge fold.
+
+    Mirrors detector/__init__.py:331-367: boxes sorted by y; consecutive
+    boxes whose vertical overlap exceeds overlap_frac * min(h) merge into
+    their hull, confidences averaged. Sequential by construction — must run
+    per-image, never as a commutative aggregate (SURVEY.md §7.4.2).
+    """
+    if len(boxes) == 0:
+        return boxes
+    boxes = boxes[np.argsort(boxes[:, 1], kind="stable")]
+    merged = [boxes[0].copy()]
+    counts = [1]
+    for b in boxes[1:]:
+        m = merged[-1]
+        ov = min(m[1] + m[3], b[1] + b[3]) - max(m[1], b[1])
+        if ov > overlap_frac * min(m[3], b[3]):
+            x1, y1 = min(m[0], b[0]), min(m[1], b[1])
+            x2, y2 = max(m[0] + m[2], b[0] + b[2]), max(m[1] + m[3], b[1] + b[3])
+            total = m[4] * counts[-1] + b[4]
+            counts[-1] += 1
+            merged[-1] = np.array([x1, y1, x2 - x1, y2 - y1, total / counts[-1]])
+        else:
+            merged.append(b.copy())
+            counts.append(1)
+    return np.stack(merged)
+
+
+def filter_components(
+    stats: np.ndarray,
+    img_w: int,
+    img_h: int,
+    min_w: int = 2,
+    min_h: int = 6,
+    max_h_frac: float = 0.5,
+    max_w_frac: float = 0.98,
+    aspect_lo: float = 0.02,
+    aspect_hi: float = 50.0,
+) -> np.ndarray:
+    """Size/aspect predicates of legacy/detector.py:624-677 as a numpy mask."""
+    if len(stats) == 0:
+        return stats
+    w = stats[:, 2].astype(np.float64)
+    h = stats[:, 3].astype(np.float64)
+    aspect = np.divide(w, h, out=np.zeros_like(w), where=h > 0)
+    keep = (
+        (w >= min_w)
+        & (h >= min_h)
+        & (h <= max_h_frac * img_h)
+        & (w <= max_w_frac * img_w)
+        & (aspect > aspect_lo)
+        & (aspect < aspect_hi)
+    )
+    return stats[keep]
+
+
+def relative_size_filter(stats: np.ndarray, lo: float = 0.15, hi: float = 5.0) -> np.ndarray:
+    """Keep lo*median_h <= h <= hi*median_h (legacy/detector.py:662-672)."""
+    if len(stats) == 0:
+        return stats
+    med = float(np.median(stats[:, 3]))
+    keep = (stats[:, 3] >= lo * med) & (stats[:, 3] <= hi * med)
+    return stats[keep]

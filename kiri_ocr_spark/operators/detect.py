@@ -1,0 +1,220 @@
+"""Text-line detection kernels (pure numpy, run per-image inside UDFs).
+
+Semantics re-expressed from the reference's legacy detector
+(/root/reference/kiri_ocr/detector/legacy/detector.py) and facade
+(/root/reference/kiri_ocr/detector/__init__.py):
+
+- ``invert_if_dark``   P2: mean<127 -> invert (core.py:523-525,678-681)
+- ``otsu_threshold``   F10: Otsu global binarization (legacy:403-440)
+- ``binarize_candidates`` + ``score_binarization`` A1/A2: multi-candidate
+  binarization with CC-statistics scoring and top-k selection
+  (legacy:263-281,442-569)
+- ``detect_lines``     F13 + projection profile: connected components +
+  row-projection line bands — the north_star's
+  "connected-component + projection-profile line segmentation"
+- ``group_into_lines`` W3: sort by cy, adaptive tolerance 0.6*median_h
+  (legacy:750-792)
+- ``reading_order``    W1: group by cy (running mean, 0.7*median_h), sort
+  within line by center x (detector/__init__.py:245-291)
+- ``segment_words``    W5: gap stats within a line (legacy:848-904)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .components import component_stats, connected_components
+
+
+def invert_if_dark(gray: np.ndarray) -> np.ndarray:
+    """Light-text-on-dark heuristic: if mean < 127, invert (P2)."""
+    if float(gray.mean()) < 127.0:
+        return (255 - gray).astype(np.uint8)
+    return gray
+
+
+def otsu_threshold(gray: np.ndarray) -> float:
+    """Otsu's global threshold over a uint8 image (F10)."""
+    hist = np.bincount(gray.ravel(), minlength=256).astype(np.float64)
+    total = hist.sum()
+    if total == 0:
+        return 127.0
+    omega = np.cumsum(hist) / total
+    mu = np.cumsum(hist * np.arange(256)) / total
+    mu_t = mu[-1]
+    denom = omega * (1.0 - omega)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sigma_b = np.where(denom > 0, (mu_t * omega - mu) ** 2 / denom, 0.0)
+    return float(np.argmax(sigma_b))
+
+
+def binarize(gray: np.ndarray) -> np.ndarray:
+    """Ink mask: True where at or below the Otsu threshold (class-0 side)."""
+    return gray <= otsu_threshold(gray)
+
+
+def binarize_candidates(gray: np.ndarray) -> list[np.ndarray]:
+    """Candidate binarizations (subset of legacy:403-494 without cv2):
+    Otsu, Otsu-inverted, fixed mid, mean-offset, local-mean (box filter)."""
+    cands = [binarize(gray)]
+    cands.append(~cands[0])
+    cands.append(gray < 127)
+    cands.append(gray < max(1.0, gray.mean() - 10.0))
+    # crude adaptive: 15x15 box mean via cumulative sums, offset 8
+    ii = np.pad(gray.astype(np.float64), ((1, 0), (1, 0))).cumsum(0).cumsum(1)
+    k = 7
+    h, w = gray.shape
+    ys = np.arange(h)
+    xs = np.arange(w)
+    y0 = np.clip(ys - k, 0, h)[:, None]
+    y1 = np.clip(ys + k + 1, 0, h)[:, None]
+    x0 = np.clip(xs - k, 0, w)[None, :]
+    x1 = np.clip(xs + k + 1, 0, w)[None, :]
+    area = (y1 - y0) * (x1 - x0)
+    local = (ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]) / area
+    cands.append(gray < local - 8)
+    return cands
+
+
+def score_binarization(mask: np.ndarray) -> float:
+    """CC-statistics score of a binarization candidate (A1 analogue of
+    legacy:496-569): rewards many medium, consistent-height components."""
+    stats = component_stats(connected_components(mask))
+    if len(stats) == 0:
+        return 0.0
+    h = stats[:, 3].astype(np.float64)
+    med = float(np.median(h))
+    if med <= 0:
+        return 0.0
+    valid = int(((h > 0.3 * med) & (h < 3 * med)).sum())
+    std = float(h.std())
+    consistency = 1.0 / (1.0 + std / med)
+    coverage = float(mask.mean())
+    coverage_score = 1.0 - abs(coverage - 0.08) / 0.92  # text pages ~5-10% ink
+    return valid * consistency * max(0.0, coverage_score)
+
+
+def select_top_binarizations(gray: np.ndarray, k: int = 3) -> list[np.ndarray]:
+    """A2: score all candidates, keep top-k by score desc (stable)."""
+    cands = binarize_candidates(gray)
+    scores = np.array([score_binarization(c) for c in cands])
+    order = np.argsort(-scores, kind="stable")[:k]
+    return [cands[i] for i in order]
+
+
+def line_bands(ink: np.ndarray, min_gap: int = 1) -> list[tuple[int, int]]:
+    """Projection-profile line segmentation: contiguous bands of rows with
+    ink, separated by >= min_gap blank rows. Returns [(y0, y1_excl)]."""
+    proj = ink.any(axis=1).astype(np.int8)
+    padded = np.concatenate([[0], proj, [0]])
+    diff = np.diff(padded)
+    starts = np.flatnonzero(diff == 1)
+    ends = np.flatnonzero(diff == -1)
+    bands = []
+    for s, e in zip(starts, ends):
+        if bands and s - bands[-1][1] < min_gap:
+            bands[-1] = (bands[-1][0], int(e))
+        else:
+            bands.append((int(s), int(e)))
+    return bands
+
+
+def detect_lines(gray: np.ndarray) -> np.ndarray:
+    """Media-span line detector: invert-if-dark -> Otsu -> CC +
+    projection-profile bands -> per-band bbox, top-to-bottom order.
+
+    Returns (n_lines, 5): x, y, w, h, confidence. Confidence is the
+    fraction of the band's components that pass a minimal sanity filter —
+    1.0 on clean synthetic pages.
+    """
+    gray = invert_if_dark(gray)
+    ink = binarize(gray)
+    bands = line_bands(ink)
+    out = []
+    for y0, y1 in bands:
+        strip = ink[y0:y1]
+        cols = np.flatnonzero(strip.any(axis=0))
+        if cols.size == 0:
+            continue
+        stats = component_stats(connected_components(strip))
+        conf = 1.0 if len(stats) > 0 else 0.0
+        out.append(
+            (float(cols[0]), float(y0), float(cols[-1] - cols[0] + 1), float(y1 - y0), conf)
+        )
+    if not out:
+        return np.zeros((0, 5), dtype=np.float64)
+    return np.asarray(out, dtype=np.float64)
+
+
+def group_into_lines(stats: np.ndarray, tol_frac: float = 0.6) -> list[np.ndarray]:
+    """W3: sort components by center-y; start a new line when cy jumps more
+    than tol_frac * median component height (legacy:750-792). Returns a
+    list of per-line stats arrays sorted by x within line."""
+    if len(stats) == 0:
+        return []
+    med_h = float(np.median(stats[:, 3]))
+    cy = stats[:, 1] + stats[:, 3] / 2.0
+    order = np.argsort(cy, kind="stable")
+    lines: list[list[int]] = [[int(order[0])]]
+    for idx in order[1:]:
+        idx = int(idx)
+        line = lines[-1]
+        line_cy = float(np.mean([stats[i, 1] + stats[i, 3] / 2.0 for i in line]))
+        if abs((stats[idx, 1] + stats[idx, 3] / 2.0) - line_cy) <= tol_frac * med_h:
+            line.append(idx)
+        else:
+            lines.append([idx])
+    out = []
+    for line in lines:
+        arr = stats[np.array(line)]
+        out.append(arr[np.argsort(arr[:, 0], kind="stable")])
+    return out
+
+
+def reading_order(boxes: np.ndarray, tol_frac: float = 0.7) -> np.ndarray:
+    """W1: facade reading-order sort — group boxes into visual lines while
+    |cy - running mean(line cy)| < tol_frac * median_h, sort each line by
+    center-x, flatten top-to-bottom (detector/__init__.py:245-291).
+    Returns row indices into ``boxes`` in reading order."""
+    if len(boxes) == 0:
+        return np.zeros(0, dtype=np.int64)
+    med_h = float(np.median(boxes[:, 3]))
+    cy = boxes[:, 1] + boxes[:, 3] / 2.0
+    cx = boxes[:, 0] + boxes[:, 2] / 2.0
+    order = np.argsort(cy, kind="stable")
+    lines: list[list[int]] = [[int(order[0])]]
+    sums: list[float] = [float(cy[order[0]])]
+    for idx in order[1:]:
+        idx = int(idx)
+        mean_cy = sums[-1] / len(lines[-1])
+        if abs(cy[idx] - mean_cy) < tol_frac * med_h:
+            lines[-1].append(idx)
+            sums[-1] += float(cy[idx])
+        else:
+            lines.append([idx])
+            sums.append(float(cy[idx]))
+    result: list[int] = []
+    for line in lines:
+        arr = np.array(line)
+        result.extend(arr[np.argsort(cx[arr], kind="stable")].tolist())
+    return np.array(result, dtype=np.int64)
+
+
+def segment_words(line_stats: np.ndarray) -> list[np.ndarray]:
+    """W5: split a line's x-sorted component stats into words at large gaps.
+    Threshold = clamp(median(gaps)+std(gaps), 0.3*med_w, 2*med_w)
+    (legacy:848-904)."""
+    if len(line_stats) <= 1:
+        return [line_stats] if len(line_stats) else []
+    xs = line_stats[:, 0].astype(np.float64)
+    rights = xs + line_stats[:, 2]
+    gaps = xs[1:] - rights[:-1]
+    med_w = float(np.median(line_stats[:, 2]))
+    thr = float(np.clip(np.median(gaps) + gaps.std(), 0.3 * med_w, 2.0 * med_w))
+    words: list[list[int]] = [[0]]
+    for i, g in enumerate(gaps, start=1):
+        if g > thr:
+            words.append([i])
+        else:
+            words[-1].append(i)
+    return [line_stats[np.array(w)] for w in words]

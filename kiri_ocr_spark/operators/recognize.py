@@ -1,0 +1,137 @@
+"""Sequence recognition: CTC decode + deterministic template recognizer.
+
+The reference's recognizer is a CNN+transformer CTC model
+(/root/reference/kiri_ocr/model.py:211-686). Trained weights live on HF Hub
+(core.py:191-217) and the sandbox has no network, so — exactly like the
+reference's own benchmark, which renders text it knows and compares
+(/root/reference/benchmark/run_benchmark.py:93-124) — we recognize with a
+deterministic kernel over the same glyph set the fixtures render with:
+
+1. per detected line, recover the unit-scale bitmap and segment glyph cells
+   by blank-column projection;
+2. match each cell against the broadcast glyph templates (exact hash hit,
+   else nearest-by-Hamming with reduced confidence) to produce a per-frame
+   log-probability lattice (frames = glyph/gap slots, vocab = blank + space
+   + charset, blank id 0 per the reference's CTC convention
+   model.py:94-101);
+3. CTC greedy decode: argmax per frame, run-length collapse, drop blanks
+   (model.py:109-144, 672-686 semantics).
+
+The interface is pluggable: a trained model would replace step 2's lattice
+construction and reuse the same decode + assembly unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..imaging.glyphs import CHARSET, GLYPH_H, GLYPH_W, template_index
+from .detect import binarize, detect_lines, invert_if_dark
+
+BLANK_ID = 0
+SPACE_ID = 1
+VOCAB = ["<blank>", " "] + CHARSET  # id -> char
+_LOW = -20.0  # log-prob floor for non-selected vocab entries
+
+
+def ctc_collapse(ids: np.ndarray, blank_id: int = BLANK_ID) -> np.ndarray:
+    """Run-length collapse then blank removal (model.py:120-144 law:
+    decode(repeats with blanks) == collapsed string)."""
+    ids = np.asarray(ids)
+    if ids.size == 0:
+        return ids
+    keep = np.ones(len(ids), dtype=bool)
+    keep[1:] = ids[1:] != ids[:-1]
+    deduped = ids[keep]
+    return deduped[deduped != blank_id]
+
+
+def ctc_greedy_decode(log_probs: np.ndarray, blank_id: int = BLANK_ID) -> tuple[np.ndarray, float]:
+    """Greedy CTC: per-frame argmax -> collapse. Returns (ids, confidence)
+    where confidence = mean per-frame max prob (model.py:343-373 A9)."""
+    if log_probs.size == 0:
+        return np.zeros(0, dtype=np.int64), 0.0
+    ids = log_probs.argmax(axis=1)
+    conf = float(np.exp(log_probs.max(axis=1)).mean())
+    return ctc_collapse(ids, blank_id), conf
+
+
+def _cell_frames(cells: list[tuple[np.ndarray, bool]]) -> np.ndarray:
+    """Build the frame lattice: each glyph cell emits 2 identical frames,
+    each gap a blank frame, each space gap blank+space+blank frames.
+
+    cells: list of (unit bitmap, space_before) pairs.
+    Returns (T, V) float log-prob matrix.
+    """
+    index = template_index()
+    frames: list[tuple[int, float]] = []  # (label id, prob)
+    for i, (bitmap, space_before) in enumerate(cells):
+        if i > 0:
+            frames.append((BLANK_ID, 1.0))
+            if space_before:
+                frames.append((SPACE_ID, 1.0))
+                frames.append((BLANK_ID, 1.0))
+        ch = index.get(np.packbits(bitmap).tobytes())
+        if ch is not None:
+            frames.extend([(2 + CHARSET.index(ch), 1.0)] * 2)
+        else:  # nearest template by Hamming distance, degraded confidence
+            best_ch, best_d = "?", GLYPH_H * GLYPH_W + 1
+            flat = bitmap.ravel()
+            for key, cand in index.items():
+                tmpl = np.unpackbits(np.frombuffer(key, dtype=np.uint8))[: flat.size]
+                d = int((tmpl != flat).sum())
+                if d < best_d:
+                    best_ch, best_d = cand, d
+            p = max(0.05, 1.0 - best_d / (GLYPH_H * GLYPH_W))
+            frames.extend([(2 + CHARSET.index(best_ch), p)] * 2)
+    if not frames:
+        return np.zeros((0, len(VOCAB)))
+    logits = np.full((len(frames), len(VOCAB)), _LOW)
+    for t, (lab, p) in enumerate(frames):
+        logits[t, lab] = np.log(p)
+    return logits
+
+
+def _segment_cells(strip_units: np.ndarray) -> list[tuple[np.ndarray, bool]]:
+    """Blank-column projection segmentation of a unit-scale line strip into
+    glyph cells; gap >= 3 unit columns = word boundary (renderer contract:
+    CHAR_GAP=1, SPACE_GAP=4)."""
+    cols = strip_units.any(axis=0).astype(np.int8)
+    padded = np.concatenate([[0], cols, [0]])
+    diff = np.diff(padded)
+    starts = np.flatnonzero(diff == 1)
+    ends = np.flatnonzero(diff == -1)
+    cells: list[tuple[np.ndarray, bool]] = []
+    prev_end = None
+    for s, e in zip(starts, ends):
+        space_before = prev_end is not None and (s - prev_end) >= 3
+        cells.append((strip_units[:, s:e].astype(bool), space_before))
+        prev_end = e
+    return cells
+
+
+def recognize_line(ink: np.ndarray, box: np.ndarray) -> tuple[str, float]:
+    """Recognize one detected line: crop -> unit-scale -> cells -> CTC."""
+    x, y, w, h = (int(box[0]), int(box[1]), int(box[2]), int(box[3]))
+    crop = ink[y : y + h, x : x + w]
+    scale = max(1, h // GLYPH_H)
+    units = crop[0::scale, 0::scale]
+    cells = _segment_cells(units)
+    ids, conf = ctc_greedy_decode(_cell_frames(cells))
+    return "".join(VOCAB[i] for i in ids), conf
+
+
+def extract_page_text(gray: np.ndarray) -> tuple[str, float, int]:
+    """Full media-span kernel: detect lines, recognize each, join by \\n
+    (reference assembly core.py:1160). Returns (text, mean_conf, n_lines)."""
+    gray = invert_if_dark(gray)
+    boxes = detect_lines(gray)
+    ink = binarize(gray)
+    texts: list[str] = []
+    confs: list[float] = []
+    for box in boxes:
+        text, conf = recognize_line(ink, box)
+        texts.append(text)
+        confs.append(conf)
+    mean_conf = float(np.mean(confs)) if confs else 0.0
+    return "\n".join(texts), mean_conf, len(texts)
