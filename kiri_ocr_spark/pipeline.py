@@ -1,0 +1,194 @@
+"""The flagship extraction dataflow (SURVEY.md §3.1 "our equivalent lifecycle").
+
+    documents(doc_id, spans)                 media(media_ref, png_bytes, ...)
+        |  posexplode(spans)                        |
+        |  route by kind (P11, pure Catalyst)       |
+        +-- text:  native trim/collapse + NFC pandas_udf (F1/F2)
+        +-- media: salt (skew: media-heavy docs) -> repartition
+                   -> join media payload (broadcast small / SMJ + AQE skew)
+                   -> mapInPandas OCR kernel (detect F13 + recognize M2/F7)
+                   -> bytes projected away immediately (§4.3 large-binary hygiene)
+        \\-> unionByName (U5)
+        -> groupBy(doc_id) ordered-span assembly (A8/W9) -- the only
+           required shuffle carries only text rows, never image bytes.
+
+Design notes for 100 TB / 1000 executors:
+- the per-span explode breaks media-heavy documents apart BEFORE any
+  expensive work, and the salt column spreads one hot doc's spans across
+  the cluster (north_rule "explicit salting of skewed media-heavy
+  partitions"); AQE skew-join covers the payload join side;
+- glyph templates (the recognizer "weights") ride a broadcast variable and
+  are materialized once per Python worker via an executor-side singleton
+  (north_star "weights broadcast once per executor");
+- everything outside the OCR kernel is native Catalyst -> whole-stage
+  codegen; the kernel is Arrow-batched, never per-row Python.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import normalize_text
+
+OCR_SCHEMA = (
+    "doc_id long, offset int, kind string, text string, media_ref string, "
+    "conf double, n_lines int, batch_ms long"
+)
+
+SPAN_SCHEMA = (
+    "doc_id long, offset int, kind string, text string, media_ref string, "
+    "conf double, n_lines int"
+)
+
+# executor-side singleton: resolved once per Python worker process
+_TEMPLATES = {"index": None}
+
+
+def _get_template_index(broadcast=None):
+    if _TEMPLATES["index"] is None:
+        if broadcast is not None:
+            _TEMPLATES["index"] = broadcast.value
+        else:  # deterministic rebuild — same bits everywhere
+            from .imaging.glyphs import template_index
+
+            _TEMPLATES["index"] = template_index()
+    return _TEMPLATES["index"]
+
+
+def _ocr_batches(broadcast):
+    """mapInPandas kernel: decode PNG -> detect lines -> CTC recognize."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # warm the executor singleton before the first batch
+        import numpy as np  # noqa: F401
+
+        from .imaging.png import decode_gray
+        from .operators.recognize import extract_page_text
+
+        _get_template_index(broadcast)
+        for pdf in batches:
+            t0 = time.monotonic()
+            texts, confs, nlines = [], [], []
+            for blob in pdf["png_bytes"]:
+                gray = decode_gray(bytes(blob))
+                text, conf, n = extract_page_text(gray)
+                texts.append(text)
+                confs.append(conf)
+                nlines.append(n)
+            ms = int((time.monotonic() - t0) * 1000)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "offset": pdf["offset"],
+                    "kind": pdf["kind"],
+                    "text": texts,
+                    "media_ref": pdf["media_ref"],
+                    "conf": confs,
+                    "n_lines": nlines,
+                    "batch_ms": ms,
+                }
+            )
+
+    return fn
+
+
+def extract_span_rows(
+    docs: DataFrame,
+    media: DataFrame,
+    *,
+    salt_buckets: int = 64,
+    media_partitions: int | None = None,
+    broadcast_media: bool = False,
+) -> DataFrame:
+    """Span-level extraction: one row per span with recognized/normalized
+    text, confidence and lineage columns. No assembly shuffle yet."""
+    spark = docs.sparkSession
+    spans = docs.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
+
+    text_rows = (
+        spans.filter(F.col("kind") == "text")
+        .select(
+            "doc_id",
+            "offset",
+            "kind",
+            normalize_text(F.col("text")).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(1.0).alias("conf"),
+            F.lit(0).alias("n_lines"),
+        )
+    )
+
+    media_rows = spans.filter(F.col("kind") == "media").select(
+        "doc_id", "offset", "kind", "media_ref"
+    )
+    # explicit skew salting: spread a media-heavy doc's spans uniformly
+    salted = media_rows.withColumn(
+        "salt",
+        F.pmod(F.xxhash64("doc_id", "media_ref"), F.lit(salt_buckets)).cast("int"),
+    )
+    nparts = media_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    salted = salted.repartition(nparts, "salt", "doc_id")
+
+    payload = F.broadcast(media) if broadcast_media else media
+    joined = salted.join(payload, "media_ref").select(
+        "doc_id", "offset", "kind", "media_ref", "png_bytes"
+    )
+
+    from .imaging.glyphs import template_index
+
+    bc = spark.sparkContext.broadcast(template_index())
+    ocr = joined.mapInPandas(_ocr_batches(bc), schema=OCR_SCHEMA).drop("batch_ms")
+
+    return text_rows.unionByName(ocr)
+
+
+def assemble_documents(span_rows: DataFrame) -> DataFrame:
+    """A8/W9: per-doc ordered span sequence. `ord` = dense rank of offset
+    (array_sort on the offset-first struct, then index via transform)."""
+    return span_rows.groupBy("doc_id").agg(
+        F.expr(
+            """
+            transform(
+              array_sort(collect_list(struct(offset, kind, text, media_ref))),
+              (s, i) -> struct(s.kind as kind, s.text as text,
+                               s.media_ref as media_ref, cast(i as int) as ord)
+            )
+            """
+        ).alias("spans")
+    )
+
+
+def extract_flat(
+    docs: DataFrame,
+    media: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """Flat (doc_id, ord, kind, text, media_ref) extraction output — the
+    shape the DuckDB construction oracle checks."""
+    assembled = assemble_documents(extract_span_rows(docs, media, **kwargs))
+    return assembled.select(
+        "doc_id", F.posexplode("spans").alias("ord", "s")
+    ).select(
+        "doc_id",
+        F.col("ord").cast("int").alias("ord"),
+        "s.kind",
+        "s.text",
+        "s.media_ref",
+    )
+
+
+def extract_from_sf_dir(spark: SparkSession, sf_dir: str, **kwargs) -> DataFrame:
+    """Convenience: synthesize the fixture from a testdata dir and extract."""
+    from .fixtures import build_fixture
+
+    docs, media = build_fixture(spark, sf_dir)
+    return extract_flat(docs, media, **kwargs)
