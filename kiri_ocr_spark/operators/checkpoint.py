@@ -1,0 +1,123 @@
+"""Checkpoint / resume protocol (SURVEY.md §2.1 S11 analogue, north_star:
+"a killed job resumes from the last committed snapshot without recomputing
+finished partitions").
+
+Design (FIXTURES.md §5 schema):
+- documents are bucketed into ``n_parts`` logical partitions by
+  ``pmod(xxhash64(doc_id), n_parts)`` — stable across runs and cluster
+  sizes;
+- the extraction output is written ``partitionBy(part_id)`` with dynamic
+  partition-overwrite, so re-processing a partition is idempotent
+  (overwrites exactly its own files, an Iceberg-snapshot-commit stand-in);
+- after the output for the pending partitions lands, one lineage+metrics
+  row per partition is appended to the checkpoint table
+  (run_id, part_id, docs_done, spans_done, media_spans, mean_conf,
+  wall_ms, committed_at);
+- resume = left_anti join of the input against committed part_ids (J7):
+  finished partitions are never read past the scan filter, let alone
+  recomputed. A crash between output-write and checkpoint-append only
+  causes those in-flight partitions to be redone — idempotently.
+
+At 100 TB the same protocol holds: part_id is the Iceberg partition key,
+the anti-join is a broadcast join against a tiny committed-parts table,
+and dynamic overwrite maps to Iceberg's overwrite-by-filter snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline import assemble_documents, extract_span_rows
+
+CHECKPOINT_SCHEMA = (
+    "run_id string, part_id int, docs_done long, spans_done long, "
+    "media_spans long, mean_conf double, wall_ms long, committed_at timestamp"
+)
+
+
+def with_part_id(docs: DataFrame, n_parts: int) -> DataFrame:
+    return docs.withColumn(
+        "part_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int")
+    )
+
+
+def committed_parts(spark: SparkSession, ckpt_dir: str, run_id: str) -> DataFrame:
+    if os.path.isdir(ckpt_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(ckpt_dir)
+    ):
+        return (
+            spark.read.parquet(ckpt_dir)
+            .filter(F.col("run_id") == run_id)
+            .select("part_id")
+            .distinct()
+        )
+    return spark.createDataFrame([], "part_id int")
+
+
+def run_extraction(
+    spark: SparkSession,
+    docs: DataFrame,
+    media: DataFrame,
+    out_dir: str,
+    ckpt_dir: str,
+    run_id: str,
+    n_parts: int = 16,
+    **extract_kwargs,
+) -> int:
+    """Checkpointed extraction. Returns number of partitions processed this
+    invocation (0 = everything was already committed)."""
+    docs = with_part_id(docs, n_parts)
+    done = committed_parts(spark, ckpt_dir, run_id)
+    todo = docs.join(F.broadcast(done), "part_id", "left_anti")
+
+    t0 = time.monotonic()
+    rows = extract_span_rows(todo.drop("part_id"), media, **extract_kwargs)
+    rows = rows.withColumn(
+        "part_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int")
+    )
+    assembled = (
+        assemble_documents(rows.drop("part_id", "conf", "n_lines"))
+        .withColumn(
+            "part_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int")
+        )
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    assembled.write.mode("overwrite").partitionBy("part_id").parquet(out_dir)
+
+    # lineage + metrics, one row per partition just committed
+    metrics = (
+        rows.groupBy("part_id")
+        .agg(
+            F.countDistinct("doc_id").alias("docs_done"),
+            F.count("*").alias("spans_done"),
+            F.sum(F.when(F.col("kind") == "media", 1).otherwise(0)).alias(
+                "media_spans"
+            ),
+            F.avg("conf").alias("mean_conf"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn(
+            "wall_ms", F.lit(int((time.monotonic() - t0) * 1000)).cast("long")
+        )
+        .withColumn("committed_at", F.current_timestamp())
+        .select(
+            "run_id",
+            "part_id",
+            "docs_done",
+            "spans_done",
+            "media_spans",
+            "mean_conf",
+            "wall_ms",
+            "committed_at",
+        )
+    )
+    pdf = metrics.toPandas()  # small: one row per partition
+    if len(pdf):
+        spark.createDataFrame(pdf, CHECKPOINT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(ckpt_dir)
+    return len(pdf)

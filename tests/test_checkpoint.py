@@ -1,0 +1,101 @@
+"""Kill/resume semantics (SURVEY.md §5.2 item 6, FIXTURES.md §5)."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kiri_ocr_spark.fixtures import build_fixture
+from kiri_ocr_spark.operators.checkpoint import (
+    CHECKPOINT_SCHEMA,
+    committed_parts,
+    run_extraction,
+    with_part_id,
+)
+
+N_PARTS = 8
+
+
+@pytest.fixture(scope="module")
+def fixture_tables(spark, sf_tiny):
+    docs, media = build_fixture(spark, sf_tiny)
+    return docs.cache(), media.cache()
+
+
+def _read_sorted(spark, out_dir):
+    return (
+        spark.read.parquet(out_dir)
+        .select("doc_id", F.expr("to_json(spans)").alias("j"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_single_shot_then_noop_resume(spark, fixture_tables, tmp_path):
+    docs, media = fixture_tables
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    n = run_extraction(spark, docs, media, out, ckpt, "run1", n_parts=N_PARTS)
+    assert n == N_PARTS
+    assert committed_parts(spark, ckpt, "run1").count() == N_PARTS
+    # re-invocation: everything committed -> zero partitions recomputed
+    n2 = run_extraction(spark, docs, media, out, ckpt, "run1", n_parts=N_PARTS)
+    assert n2 == 0
+
+
+def test_kill_and_resume_recomputes_only_missing(spark, fixture_tables, tmp_path):
+    docs, media = fixture_tables
+    out_a, ckpt_a = str(tmp_path / "out_a"), str(tmp_path / "ckpt_a")
+    out_b, ckpt_b = str(tmp_path / "out_b"), str(tmp_path / "ckpt_b")
+
+    # reference single-shot run
+    run_extraction(spark, docs, media, out_a, ckpt_a, "ref", n_parts=N_PARTS)
+    ref = _read_sorted(spark, out_a)
+
+    # "killed" run: full run, then simulate the crash by deleting the output
+    # partitions AND checkpoint rows for half the part_ids
+    run_extraction(spark, docs, media, out_b, ckpt_b, "r2", n_parts=N_PARTS)
+    dead = set(range(N_PARTS // 2))
+    for pid in dead:
+        for path in glob.glob(os.path.join(out_b, f"part_id={pid}")):
+            shutil.rmtree(path)
+    surviving = (
+        spark.read.parquet(ckpt_b)
+        .filter(~F.col("part_id").isin(list(dead)))
+        .toPandas()
+    )
+    for f in glob.glob(os.path.join(ckpt_b, "*.parquet")):
+        os.remove(f)
+    spark.createDataFrame(surviving, CHECKPOINT_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(ckpt_b)
+
+    # resume: must process exactly the dead partitions
+    n = run_extraction(spark, docs, media, out_b, ckpt_b, "r2", n_parts=N_PARTS)
+    assert n == len(dead)
+
+    # final output identical to single-shot
+    got = _read_sorted(spark, out_b)
+    assert got.equals(ref)
+
+    # surviving partitions were NOT recomputed: exactly one checkpoint row
+    # each; dead ones have two (original + resume append ... original rows
+    # were deleted, so also one) -> every part has exactly one row and
+    # totals cover all docs
+    ckpt_rows = spark.read.parquet(ckpt_b).toPandas()
+    assert sorted(ckpt_rows["part_id"].tolist()) == list(range(N_PARTS))
+    assert ckpt_rows["docs_done"].sum() == docs.count()
+
+
+def test_part_id_stability(spark, fixture_tables):
+    """part_id depends only on doc_id and n_parts — stable across runs and
+    cluster sizes (resume correctness at any parallelism)."""
+    docs, _ = fixture_tables
+    a = with_part_id(docs, N_PARTS).select("doc_id", "part_id").toPandas()
+    b = with_part_id(docs, N_PARTS).select("doc_id", "part_id").toPandas()
+    assert a.sort_values("doc_id").equals(b.sort_values("doc_id"))
+    assert a["part_id"].between(0, N_PARTS - 1).all()

@@ -1,0 +1,149 @@
+"""End-to-end span-sequence equality vs the construction-time oracle
+(BASELINE.json invariant: (kind, text, media_ref, order) per document),
+plus normalizer and fixture-shape invariants (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kiri_ocr_spark.fixtures import build_documents, build_fixture, expected_sql
+from kiri_ocr_spark.functions.text import cer, is_khmer, normalize_text
+from kiri_ocr_spark.pipeline import (
+    assemble_documents,
+    extract_flat,
+    extract_span_rows,
+)
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, sf_tiny):
+    docs, media = build_fixture(spark, sf_tiny)
+    got = (
+        extract_flat(docs, media)
+        .toPandas()
+        .sort_values(["doc_id", "ord"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_tiny}/documents.parquet'"
+    )
+    exp = (
+        con.execute(expected_sql())
+        .df()
+        .sort_values(["doc_id", "ord"])
+        .reset_index(drop=True)
+    )
+    return got, exp
+
+
+def test_span_sequence_exact_match(extracted):
+    got, exp = extracted
+    assert len(got) == len(exp)
+    merged = got.merge(
+        exp, on=["doc_id", "ord"], suffixes=("_g", "_e"), how="outer", indicator=True
+    )
+    assert (merged["_merge"] == "both").all()
+    for col in ("kind", "text", "media_ref"):
+        same = merged[f"{col}_g"].fillna("§").eq(merged[f"{col}_e"].fillna("§"))
+        assert same.all(), merged[~same].head()
+
+
+def test_order_is_dense_rank_per_doc(extracted):
+    got, _ = extracted
+    for _, g in got.groupby("doc_id"):
+        assert g["ord"].tolist() == list(range(len(g)))
+
+
+def test_skew_tail_docs_have_extra_media(extracted):
+    got, _ = extracted
+    media_per_doc = got[got["kind"] == "media"].groupby("doc_id").size()
+    skew = media_per_doc[media_per_doc.index % 97 == 0]
+    assert (skew >= 16).all()
+    assert media_per_doc[media_per_doc.index % 97 != 0].max() <= 2
+
+
+def test_storage_order_is_scrambled(spark, sf_tiny):
+    """Input invariant: spans array storage order != offset order, so any
+    pipeline that ignores `offset` would fail the equality test."""
+    flat = spark.read.parquet(f"{sf_tiny}/documents.parquet")
+    docs = build_documents(flat)
+    row = docs.filter(F.size("spans") >= 3).first()
+    offsets = [s["offset"] for s in row["spans"]]
+    assert offsets != sorted(offsets)
+
+
+def test_media_bytes_do_not_cross_assembly_shuffle(spark, sf_tiny):
+    """§4.3 hygiene: the physical plan's aggregate stage must not carry the
+    png_bytes column."""
+    docs, media = build_fixture(spark, sf_tiny)
+    plan = extract_flat(docs, media)._jdf.queryExecution().executedPlan().toString()
+    # every shuffle exchange on doc_id (the assembly groupBy) must not carry
+    # the binary payload column
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert exchanges, plan
+    for ln in exchanges:
+        assert "png_bytes" not in ln, ln
+
+
+def test_normalizer_matches_duckdb(spark, sf_tiny):
+    sdf = spark.read.parquet(f"{sf_tiny}/documents.parquet").select(
+        "doc_id", normalize_text(F.col("text")).alias("norm")
+    )
+    got = sdf.toPandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    exp = (
+        con.execute(
+            f"""SELECT doc_id,
+                   nfc_normalize(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+               FROM '{sf_tiny}/documents.parquet' ORDER BY doc_id"""
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_normalizer_idempotent_and_nfc(spark):
+    df = spark.createDataFrame(
+        [("  a \t b\n\nc  ",), ("é",), ("ខា",)], "t string"
+    )
+    out = df.select(normalize_text(F.col("t")).alias("n")).collect()
+    assert out[0]["n"] == "a b c"
+    assert out[1]["n"] == "é"  # NFC composes e + combining acute
+    once = out[2]["n"]
+    again = (
+        spark.createDataFrame([(once,)], "t string")
+        .select(normalize_text(F.col("t")).alias("n"))
+        .first()["n"]
+    )
+    assert once == again
+
+
+def test_khmer_flag_and_cer(spark):
+    df = spark.createDataFrame(
+        [("hello", "hello", False), ("ខau", "ខau", True), ("abc", "axc", False)],
+        "gt string, pred string, khmer boolean",
+    )
+    rows = df.select(
+        is_khmer(F.col("gt")).alias("k"), cer(F.col("gt"), F.col("pred")).alias("c")
+    ).collect()
+    assert [r["k"] for r in rows] == [False, True, False]
+    assert rows[0]["c"] == 0.0
+    assert abs(rows[2]["c"] - 1 / 3) < 1e-12
+
+
+def test_assembly_union_preserves_counts(spark, sf_tiny):
+    """Property: routed text+media spans partition the input spans exactly."""
+    docs, media = build_fixture(spark, sf_tiny)
+    n_input = docs.select(F.explode("spans")).count()
+    rows = extract_span_rows(docs, media)
+    assert rows.count() == n_input
+    assembled = assemble_documents(rows)
+    total = assembled.select(F.sum(F.size("spans"))).first()[0]
+    assert total == n_input

@@ -1,0 +1,272 @@
+"""Detection + recognition kernel unit tests (SURVEY.md §5.2 item 3)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kiri_ocr_spark.imaging.glyphs import GLYPH_H, SCALE, render_page
+from kiri_ocr_spark.operators.components import (
+    component_stats,
+    connected_components,
+    filter_components,
+    iou,
+    merge_overlapping,
+    nms,
+    relative_size_filter,
+)
+from kiri_ocr_spark.operators.detect import (
+    binarize,
+    detect_lines,
+    group_into_lines,
+    invert_if_dark,
+    line_bands,
+    otsu_threshold,
+    reading_order,
+    segment_words,
+    select_top_binarizations,
+)
+from kiri_ocr_spark.operators.recognize import (
+    BLANK_ID,
+    ctc_collapse,
+    ctc_greedy_decode,
+    extract_page_text,
+)
+
+
+# --- connected components -------------------------------------------------
+
+
+def test_cc_simple_shapes():
+    img = np.zeros((10, 12), dtype=bool)
+    img[1:3, 1:4] = True  # component 1
+    img[6:9, 7:11] = True  # component 2
+    img[4, 5] = True  # single pixel
+    labels = connected_components(img)
+    assert labels.max() == 3
+    stats = component_stats(labels)
+    assert len(stats) == 3
+    areas = sorted(stats[:, 4].tolist())
+    assert areas == [1, 6, 12]
+
+
+def test_cc_diagonal_is_8_connected():
+    img = np.eye(5, dtype=bool)
+    labels = connected_components(img)
+    assert labels.max() == 1  # one diagonal component under 8-connectivity
+
+
+def test_cc_u_shape_merges():
+    # U shape: two columns joined at the bottom — requires union-find merge
+    img = np.zeros((5, 5), dtype=bool)
+    img[0:5, 0] = True
+    img[0:5, 4] = True
+    img[4, 0:5] = True
+    assert connected_components(img).max() == 1
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_cc_label_count_matches_flood_fill(seed):
+    rng = np.random.RandomState(seed)
+    img = rng.rand(18, 18) < 0.35
+    labels = connected_components(img)
+    # oracle: BFS flood fill
+    seen = np.zeros_like(img, dtype=bool)
+    count = 0
+    for y in range(img.shape[0]):
+        for x in range(img.shape[1]):
+            if img[y, x] and not seen[y, x]:
+                count += 1
+                stack = [(y, x)]
+                seen[y, x] = True
+                while stack:
+                    cy, cx = stack.pop()
+                    for dy in (-1, 0, 1):
+                        for dx in (-1, 0, 1):
+                            ny, nx = cy + dy, cx + dx
+                            if (
+                                0 <= ny < img.shape[0]
+                                and 0 <= nx < img.shape[1]
+                                and img[ny, nx]
+                                and not seen[ny, nx]
+                            ):
+                                seen[ny, nx] = True
+                                stack.append((ny, nx))
+    assert labels.max() == count
+    # foreground/background agreement
+    assert ((labels > 0) == img).all()
+
+
+# --- box algebra ----------------------------------------------------------
+
+
+def test_iou_known_values():
+    a = np.array([0, 0, 10, 10], dtype=float)
+    assert iou(a, a) == 1.0
+    assert iou(a, np.array([20, 20, 5, 5], dtype=float)) == 0.0
+    b = np.array([5, 0, 10, 10], dtype=float)
+    assert abs(iou(a, b) - 50 / 150) < 1e-12
+
+
+def test_nms_keeps_highest_confidence():
+    boxes = np.array(
+        [
+            [0, 0, 10, 10, 0.9],
+            [1, 1, 10, 10, 0.8],  # IoU > 0.5 with first -> suppressed
+            [30, 30, 10, 10, 0.7],
+        ],
+        dtype=float,
+    )
+    kept = nms(boxes, 0.5)
+    assert len(kept) == 2
+    assert 0.9 in kept[:, 4] and 0.7 in kept[:, 4]
+
+
+def test_merge_overlapping_hull_and_mean_conf():
+    boxes = np.array([[0, 0, 10, 10, 1.0], [0, 5, 10, 10, 0.5]], dtype=float)
+    merged = merge_overlapping(boxes, 0.3)
+    assert len(merged) == 1
+    x, y, w, h, c = merged[0]
+    assert (x, y, w, h) == (0, 0, 10, 15)
+    assert abs(c - 0.75) < 1e-12
+
+
+def test_filter_components_reference_predicates():
+    img_w, img_h = 100, 100
+    stats = np.array(
+        [
+            [10, 10, 5, 10, 50],  # good
+            [0, 0, 1, 10, 10],  # too narrow (w<2)
+            [0, 0, 10, 3, 30],  # too short (h<6)
+            [0, 0, 10, 60, 600],  # too tall (>0.5*img_h)
+            [0, 0, 99, 10, 990],  # too wide (>0.98*img_w)
+        ],
+        dtype=np.int64,
+    )
+    kept = filter_components(stats, img_w, img_h)
+    assert len(kept) == 1 and kept[0, 4] == 50
+
+
+def test_relative_size_filter():
+    stats = np.array(
+        [[0, 0, 5, 10, 1], [0, 0, 5, 11, 1], [0, 0, 5, 1, 1], [0, 0, 5, 100, 1]],
+        dtype=np.int64,
+    )
+    kept = relative_size_filter(stats)
+    assert len(kept) == 2  # median ~10.5; 1 and 100 dropped
+
+
+# --- detection stages -----------------------------------------------------
+
+
+def test_otsu_bimodal():
+    img = np.concatenate([np.zeros(500), np.full(500, 255)]).astype(np.uint8)
+    t = otsu_threshold(img.reshape(20, 50))
+    assert 0 <= t < 255
+    mask = img.reshape(20, 50) <= t
+    assert mask.sum() == 500
+
+
+def test_invert_if_dark():
+    light = np.full((10, 10), 200, dtype=np.uint8)
+    dark = np.full((10, 10), 50, dtype=np.uint8)
+    assert (invert_if_dark(light) == light).all()
+    assert (invert_if_dark(dark) == 205).all()
+
+
+def test_line_bands_and_detect_lines():
+    page = render_page(["first line", "second one", "third"], scale=SCALE)
+    ink = binarize(page)
+    bands = line_bands(ink)
+    assert len(bands) == 3
+    for y0, y1 in bands:
+        assert y1 - y0 == GLYPH_H * SCALE  # full row coverage contract
+    boxes = detect_lines(page)
+    assert len(boxes) == 3
+    assert (np.diff(boxes[:, 1]) > 0).all()  # top-to-bottom order
+
+
+def test_group_into_lines_tolerance():
+    # components on two visual lines, jittered within 0.6*median_h
+    stats = np.array(
+        [[0, 0, 5, 10, 1], [10, 2, 5, 10, 1], [0, 30, 5, 10, 1], [10, 29, 5, 10, 1]],
+        dtype=np.int64,
+    )
+    lines = group_into_lines(stats)
+    assert [len(ln) for ln in lines] == [2, 2]
+    # within-line x order
+    assert lines[0][0][0] < lines[0][1][0]
+
+
+def test_reading_order_row_major():
+    # three boxes: two on top row (out of x order), one below
+    boxes = np.array(
+        [[50, 0, 10, 10, 1], [0, 1, 10, 10, 1], [0, 40, 10, 10, 1]], dtype=float
+    )
+    order = reading_order(boxes)
+    assert order.tolist() == [1, 0, 2]
+
+
+def test_segment_words_by_gap():
+    # components: tight cluster, big gap, tight cluster
+    stats = np.array(
+        [[0, 0, 5, 10, 1], [6, 0, 5, 10, 1], [40, 0, 5, 10, 1], [46, 0, 5, 10, 1]],
+        dtype=np.int64,
+    )
+    words = segment_words(stats)
+    assert [len(w) for w in words] == [2, 2]
+
+
+def test_select_top_binarizations_prefers_text_like():
+    page = render_page(["some words here to score"], scale=SCALE)
+    top = select_top_binarizations(page, k=3)
+    assert len(top) == 3
+    ink = binarize(page)
+    # the best candidate should essentially match plain Otsu ink
+    assert (top[0] == ink).mean() > 0.99
+
+
+# --- CTC ------------------------------------------------------------------
+
+
+def test_ctc_collapse_laws():
+    # decode(blank-extended repeats) == collapsed (model.py:120-144 law)
+    ids = np.array([0, 3, 3, 0, 3, 4, 4, 0, 0, 5])
+    assert ctc_collapse(ids).tolist() == [3, 3, 4, 5]
+    assert ctc_collapse(np.array([])).size == 0
+    assert ctc_collapse(np.array([0, 0, 0])).size == 0
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(1, 5), min_size=0, max_size=12))
+def test_ctc_roundtrip_property(seq):
+    """Encoding any sequence as blank-separated doubled frames decodes back."""
+    frames: list[int] = []
+    for s in seq:
+        frames.extend([s, s, BLANK_ID])
+    got = ctc_collapse(np.array(frames, dtype=np.int64)) if frames else np.array([])
+    assert list(got) == seq
+
+
+def test_ctc_greedy_decode_confidence():
+    logp = np.full((4, 6), -20.0)
+    for t, lab in enumerate([2, 2, 0, 3]):
+        logp[t, lab] = 0.0
+    ids, conf = ctc_greedy_decode(logp)
+    assert ids.tolist() == [2, 3]
+    assert conf == 1.0
+
+
+# --- full kernel ----------------------------------------------------------
+
+
+def test_extract_page_text_exact_and_inverted():
+    lines = ["the quick brown fox", "jumps over 13 lazy dogs!"]
+    for invert in (False, True):
+        page = render_page(lines, scale=SCALE, invert=invert)
+        text, conf, n = extract_page_text(page)
+        assert text == "\n".join(lines)
+        assert n == 2
+        assert conf == 1.0
