@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship OCR extraction on sf0.001: synthesize the
+                interleaved spans+media fixture from the flat documents
+                table (deterministic, SQL-expressible rules — see
+                kiri_ocr_spark/fixtures.py), render media PNGs, run the
+                full detect+recognize pipeline, return the flat ordered
+                span sequence.
+queries()     — every implemented operator from SURVEY.md §2 plus the
+                training-data-pipeline ops (dedup / similarity / text
+                analysis), as (spark, sf_dir) -> DataFrame.
+oracle_sql()  — matching DuckDB SQL per query. The flagship extraction is
+                oracle-checked too: DuckDB derives each span's expected
+                text by construction while Spark actually renders and
+                OCRs the images.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from kiri_ocr_spark.queries import q_extract_spans
+
+    return q_extract_spans(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kiri_ocr_spark.queries import query_registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return query_registry()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kiri_ocr_spark.queries import oracle_registry
+
+    return oracle_registry()

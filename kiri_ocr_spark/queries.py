@@ -1,0 +1,915 @@
+"""Query registry: every operator exposed through the driver contract.
+
+Each entry pairs a PySpark DataFrame program with an ANSI-SQL DuckDB oracle
+over the same parquet tables (pre-registered views: region nation customer
+supplier part orders lineitem events documents embeddings). Column names
+and types are aligned pair-by-pair because the driver hashes values after
+sorting columns by name.
+
+Determinism rules used throughout:
+- float aggregates go through exact decimal sums or are rounded (4-6 dp);
+- ranking always carries an integer tiebreaker;
+- corpora needing duplicates/near-duplicates construct them *inside the
+  query* with the same deterministic rule on both sides (mutation of
+  doc_id % k subsets), never from external data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .fixtures import build_fixture, expected_sql
+from .functions.text import cer, char_accuracy, normalize_text
+from .pipeline import extract_flat
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# normalized text + token helpers shared by several queries (both dialects)
+_SPARK_NORM = "trim(regexp_replace(text, '\\\\s+', ' '))"
+_DUCK_NORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# 1. Flagship: full OCR extraction vs construction-time oracle
+# --------------------------------------------------------------------------
+
+
+def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, media = build_fixture(spark, sf_dir)
+    return extract_flat(docs, media)
+
+
+# --------------------------------------------------------------------------
+# 2. Detector-level check: line counts + page geometry by construction
+# --------------------------------------------------------------------------
+
+
+def _detect_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .imaging.png import decode_gray
+    from .operators.detect import detect_lines
+
+    for pdf in batches:
+        n_lines, heights = [], []
+        for blob in pdf["png_bytes"]:
+            gray = decode_gray(bytes(blob))
+            n_lines.append(len(detect_lines(gray)))
+            heights.append(gray.shape[0])
+        yield pd.DataFrame(
+            {"media_ref": pdf["media_ref"], "n_lines": n_lines, "height": heights}
+        )
+
+
+def q_media_line_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, media = build_fixture(spark, sf_dir)
+    return media.mapInPandas(
+        _detect_batches, schema="media_ref string, n_lines int, height int"
+    )
+
+
+_MEDIA_DETECT_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 3 + CASE WHEN doc_id % 97 = 0 THEN 16 ELSE 0 END AS n_media
+  FROM documents
+)
+SELECT 'img_' || doc_id || '_' || m AS media_ref,
+       CAST(CASE WHEN m % 2 = 1 THEN 2 ELSE 1 END AS INT) AS n_lines,
+       CAST(20 + 2 * (10 * (CASE WHEN m % 2 = 1 THEN 2 ELSE 1 END)
+                      + 4 * (CASE WHEN m % 2 = 1 THEN 1 ELSE 0 END)) AS INT)
+         AS height
+FROM d, unnest(generate_series(0, n_media - 1)) AS g(m)
+WHERE n_media > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# 3. Text normalizer (F1/F2)
+# --------------------------------------------------------------------------
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text(F.col("text")).alias("norm_text")
+    )
+
+
+_NORMALIZE_SQL = f"""
+SELECT doc_id, nfc_normalize({_DUCK_NORM}) AS norm_text FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# 4. Vocabulary distinct chars (U4)
+# --------------------------------------------------------------------------
+
+
+def q_vocab_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .distinct()
+    )
+
+
+_VOCAB_SQL = """
+SELECT DISTINCT unnest(string_split(text, '')) AS ch FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# 5. Reading-order row numbering (W7)
+# --------------------------------------------------------------------------
+
+
+def q_reading_order_rn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.row_number().over(w).alias("rn")
+    )
+
+
+_READING_ORDER_SQL = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# 6. Lag-based session regrouping (W4 idiom: new line when gap > tolerance)
+# --------------------------------------------------------------------------
+
+_SESSION_GAP_MS = 1_800_000
+
+
+def q_session_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ts arrives as TIMESTAMP_NTZ; session TZ is pinned UTC so this cast
+    # matches DuckDB's naive epoch_ms exactly
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    flagged = ev.withColumn(
+        "new_grp",
+        F.when(
+            F.col("ms") - F.lag("ms").over(w) > F.lit(_SESSION_GAP_MS), 1
+        ).otherwise(0),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("new_grp")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int")
+        .alias("session_id"),
+    )
+
+
+_SESSION_SQL = f"""
+WITH g AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ms,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+              (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+              > {_SESSION_GAP_MS} THEN 1 ELSE 0 END AS new_grp
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(sum(new_grp) OVER (PARTITION BY user_id ORDER BY ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# 7. CER / accuracy aggregation (F5/F6/A12/J8 shape)
+# --------------------------------------------------------------------------
+
+
+def q_cer_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr(_SPARK_NORM).alias("gt")
+    )
+    d = d.withColumn(
+        "pred",
+        F.when(F.col("doc_id") % 3 == 0, F.regexp_replace("gt", "e", "")).otherwise(
+            F.col("gt")
+        ),
+    )
+    scored = d.withColumn("c", cer(F.col("gt"), F.col("pred")))
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("c"), 4).alias("avg_cer"),
+        F.round(
+            F.avg(F.when(F.col("gt") == F.col("pred"), 1.0).otherwise(0.0)), 4
+        ).alias("exact_rate"),
+        F.round(F.avg(char_accuracy(F.col("c"))), 4).alias("avg_char_acc"),
+    )
+
+
+_CER_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, {_DUCK_NORM} AS gt FROM documents
+), p AS (
+  SELECT lang, gt,
+         CASE WHEN doc_id % 3 = 0 THEN replace(gt, 'e', '') ELSE gt END AS pred
+  FROM d
+), s AS (
+  SELECT lang, gt, pred,
+         CASE WHEN len(gt) = 0
+              THEN CASE WHEN len(pred) = 0 THEN 0.0 ELSE 1.0 END
+              ELSE levenshtein(gt, pred)::DOUBLE / len(gt) END AS c
+  FROM p
+)
+SELECT lang, count(*) AS n,
+       round(avg(c), 4) AS avg_cer,
+       round(avg(CASE WHEN gt = pred THEN 1.0 ELSE 0.0 END), 4) AS exact_rate,
+       round(avg(greatest(0.0, 1.0 - c)), 4) AS avg_char_acc
+FROM s GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# 8. Confidence tier counts (A14)
+# --------------------------------------------------------------------------
+
+
+def q_confidence_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tier = (
+        F.when(F.col("value") >= 100, "high")
+        .when(F.col("value") >= 10, "mid")
+        .otherwise("low")
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .select(tier.alias("tier"), "event_type")
+        .groupBy("tier", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_TIERS_SQL = """
+SELECT CASE WHEN value >= 100 THEN 'high'
+            WHEN value >= 10 THEN 'mid' ELSE 'low' END AS tier,
+       event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# 9. Partial+final hash aggregation at scale (TPC-H Q1 shape, A12 family)
+# --------------------------------------------------------------------------
+
+
+def q_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.round(F.avg(F.col("l_discount").cast("decimal(18,4)")).cast("double"), 4)
+        .alias("avg_disc"),
+        F.count("*").alias("n"),
+    )
+
+
+_LINEITEM_AGG_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       round(CAST(avg(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS avg_disc,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# 10. Top-k per group (A2/T5 idiom)
+# --------------------------------------------------------------------------
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("l_orderkey", "rk", "l_linenumber")
+    )
+
+
+_TOPK_SQL = """
+SELECT l_orderkey, CAST(rk AS INT) AS rk, l_linenumber FROM (
+  SELECT l_orderkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber) AS rk
+  FROM lineitem WHERE l_orderkey <= 200
+) WHERE rk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# 11. Exact dedup (hash-groupBy); duplicates constructed in-query
+# --------------------------------------------------------------------------
+
+
+def _corpus_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SPARK_NORM).alias("norm")
+    )
+    dups = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "norm"
+    )
+    return d.unionByName(dups)
+
+
+_DUCK_CORPUS_EXACT = f"""
+  SELECT doc_id, {_DUCK_NORM} AS norm FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, {_DUCK_NORM} AS norm
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _corpus_with_exact_dups(spark, sf_dir)
+    return c.groupBy(F.md5("norm").alias("h")).agg(
+        F.min("doc_id").alias("keeper"), F.count("*").alias("n")
+    )
+
+
+_DEDUP_EXACT_SQL = f"""
+WITH c AS ({_DUCK_CORPUS_EXACT})
+SELECT md5(norm) AS h, min(doc_id) AS keeper, count(*) AS n
+FROM c GROUP BY md5(norm)
+"""
+
+
+# --------------------------------------------------------------------------
+# 12. N-gram Jaccard similarity of adjacent doc pairs
+# --------------------------------------------------------------------------
+
+_SPARK_SHINGLES3 = (
+    "array_distinct(transform(sequence(1, greatest(length(norm) - 2, 1)),"
+    " i -> substring(norm, i, 3)))"
+)
+_DUCK_SHINGLES3 = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(norm) - 2, 1)),"
+    " i -> substr(norm, i, 3)))"
+)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_SPARK_NORM).alias("norm"))
+        .select("doc_id", F.expr(_SPARK_SHINGLES3).alias("sh"))
+    )
+    a = d.alias("a")
+    b = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("sh").alias("sh_b")
+    ).alias("b")
+    return (
+        a.join(b, "doc_id")
+        .select(
+            F.col("doc_id").alias("a"),
+            (F.col("doc_id") + 1).alias("b"),
+            F.round(
+                F.size(F.array_intersect("sh", "sh_b"))
+                / F.size(F.array_union("sh", "sh_b")),
+                4,
+            ).alias("jac"),
+        )
+    )
+
+
+_JACCARD_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_DUCK_SHINGLES3} AS sh
+  FROM (SELECT doc_id, {_DUCK_NORM} AS norm FROM documents)
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jac
+FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 13. MinHash + LSH band join (near-dups constructed in-query)
+# --------------------------------------------------------------------------
+
+_SPARK_SHINGLES4 = (
+    "array_distinct(transform(sequence(1, greatest(length(norm) - 3, 1)),"
+    " i -> substring(norm, i, 4)))"
+)
+_DUCK_SHINGLES4 = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(norm) - 3, 1)),"
+    " i -> substr(norm, i, 4)))"
+)
+_N_HASHES = 8
+_N_BANDS = 4
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SPARK_NORM).alias("norm")
+    )
+    near = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(norm, 11)").alias("norm"),
+    )
+    corpus = d.unionByName(near)
+    shingled = corpus.select(
+        "doc_id", F.explode(F.expr(_SPARK_SHINGLES4)).alias("sh")
+    )
+    sigs = shingled.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")))).alias(f"s{k}")
+            for k in range(_N_HASHES)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(F.concat(F.col(f"s{2*b}"), F.col(f"s{2*b+1}"))).alias(
+                            "band_val"
+                        ),
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", "bd.band_id", "bd.band_val")
+    a, b = bands.alias("x"), bands.alias("y")
+    return (
+        a.join(
+            b,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def _minhash_sql() -> str:
+    sig_cols = ", ".join(
+        f"min(md5('{k}:' || sh)) AS s{k}" for k in range(_N_HASHES)
+    )
+    band_rows = ", ".join(
+        f"({b}, md5(s{2*b} || s{2*b+1}))" for b in range(_N_BANDS)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, {_DUCK_NORM} AS norm FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, substr({_DUCK_NORM}, 11) AS norm
+  FROM documents WHERE doc_id % 5 = 0
+), shingled AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES4}) AS sh FROM corpus
+), sigs AS (
+  SELECT doc_id, {sig_cols} FROM shingled GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b.band_id, b.band_val
+  FROM sigs, (VALUES {band_rows}) AS b(band_id, band_val)
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM bands x JOIN bands y
+  ON x.band_id = y.band_id AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# 14. SimHash document signatures (16-bit, md5-derived, portable)
+# --------------------------------------------------------------------------
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SPARK_NORM).alias("norm")
+    )
+    sh = d.select(
+        "doc_id", F.explode(F.expr(_SPARK_SHINGLES4)).alias("sh")
+    ).withColumn(
+        "h", F.expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)")
+    )
+    bit_sums = sh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(16)
+        ]
+    )
+    expr = " + ".join(f"if(b{j} > 0, {1 << j}, 0)" for j in range(16))
+    return bit_sums.select("doc_id", F.expr(f"cast({expr} as int)").alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(16)
+    )
+    combine = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_DUCK_NORM} AS norm FROM documents
+), sh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s.sh), 1, 15)) AS UBIGINT)::BIGINT AS h
+  FROM d, unnest({_DUCK_SHINGLES4}) AS s(sh)
+), b AS (
+  SELECT doc_id, {bit_sums} FROM sh GROUP BY doc_id
+)
+SELECT doc_id, CAST({combine} AS INT) AS simhash FROM b
+"""
+
+
+# --------------------------------------------------------------------------
+# 15. Token statistics per language
+# --------------------------------------------------------------------------
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.expr(f"size(split({_SPARK_NORM}, ' '))").alias("n_tok"),
+        F.expr(f"length({_SPARK_NORM})").alias("n_chars"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.round(F.avg(F.col("n_tok").cast("double")), 4).alias("avg_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+_TOKEN_STATS_SQL = f"""
+WITH d AS (
+  SELECT lang, len(string_split({_DUCK_NORM}, ' ')) AS n_tok,
+         len({_DUCK_NORM}) AS n_chars
+  FROM documents
+)
+SELECT lang, count(*) AS docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(avg(n_tok::DOUBLE), 4) AS avg_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM d GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# 16. Quality scoring per document
+# --------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "to", "in")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stop_pred = " or ".join(f"t = '{s}'" for s in _STOPWORDS)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"split({_SPARK_NORM}, ' ')").alias("toks"),
+    ).select(
+        "doc_id",
+        F.expr("size(toks)").alias("n_tokens"),
+        F.round(
+            F.expr(f"size(filter(toks, t -> {stop_pred}))")
+            / F.expr("size(toks)"),
+            4,
+        ).alias("stop_ratio"),
+        F.round(
+            F.expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))")
+            / F.expr("size(toks)"),
+            4,
+        ).alias("mean_word_len"),
+    )
+
+
+def _quality_sql() -> str:
+    stop_pred = " OR ".join(f"t = '{s}'" for s in _STOPWORDS)
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split({_DUCK_NORM}, ' ') AS toks FROM documents
+)
+SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+       round(len(list_filter(toks, t -> {stop_pred}))::DOUBLE / len(toks), 4)
+         AS stop_ratio,
+       round(list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks), 4)
+         AS mean_word_len
+FROM d
+"""
+
+
+# --------------------------------------------------------------------------
+# 17. Language-ID heuristic vs labeled lang (confusion counts)
+# --------------------------------------------------------------------------
+
+
+def q_lang_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", F.expr(f"split({_SPARK_NORM}, ' ')").alias("toks")
+    )
+    scored = d.select(
+        "lang",
+        F.expr("size(filter(toks, t -> t = 'the'))").alias("s_en"),
+        F.expr("size(filter(toks, t -> t = 'a'))").alias("s_other"),
+    )
+    pred = (
+        F.when(F.col("s_en") >= F.col("s_other"), "en").otherwise("other")
+    )
+    return scored.select("lang", pred.alias("pred")).groupBy("lang", "pred").agg(
+        F.count("*").alias("n")
+    )
+
+
+_LANG_PRED_SQL = f"""
+WITH d AS (
+  SELECT lang, string_split({_DUCK_NORM}, ' ') AS toks FROM documents
+), s AS (
+  SELECT lang,
+         len(list_filter(toks, t -> t = 'the')) AS s_en,
+         len(list_filter(toks, t -> t = 'a')) AS s_other
+  FROM d
+)
+SELECT lang, CASE WHEN s_en >= s_other THEN 'en' ELSE 'other' END AS pred,
+       count(*) AS n
+FROM s GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# 18. Document fingerprint (min-hash of 8-gram shingles, winnowing-lite)
+# --------------------------------------------------------------------------
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SPARK_NORM).alias("norm")
+    )
+    return d.select(
+        "doc_id",
+        F.expr(
+            "array_min(transform(sequence(1, greatest(length(norm) - 7, 1)),"
+            " i -> md5(substring(norm, i, 8))))"
+        ).alias("fp"),
+    )
+
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       list_min(list_transform(generate_series(1, greatest(len(norm) - 7, 1)),
+                i -> md5(substr(norm, i, 8)))) AS fp
+FROM (SELECT doc_id, {_DUCK_NORM} AS norm FROM documents)
+"""
+
+
+# --------------------------------------------------------------------------
+# 19. ANN: brute-force cosine top-k (baseline for similarity search)
+# --------------------------------------------------------------------------
+
+_N_QUERIES = 20
+_TOP_K = 5
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    e = e.withColumn(
+        "nrm",
+        F.expr("sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (a, x) -> a + x))"),
+    )
+    q = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    pairs = q.join(F.broadcast(e), F.col("query_id") != F.col("vec_id"))
+    sims = pairs.withColumn(
+        "sim",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+            )
+            / (F.col("qn") * F.col("nrm")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rk")
+    )
+
+
+_ANN_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 6) AS sim
+  FROM e q JOIN e ON q.vec_id < {_N_QUERIES} AND q.vec_id <> e.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS INT) AS rk
+  FROM sims
+)
+SELECT query_id, neighbor_id, rk FROM ranked WHERE rk <= {_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# 20. LSH bucketing (axis-aligned hyperplane signs, scale path for ANN)
+# --------------------------------------------------------------------------
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    expr = " + ".join(
+        f"if(element_at(embedding, {i + 1}) > 0, {1 << i}, 0)" for i in range(8)
+    )
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .select(F.expr(f"cast({expr} as int)").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_ANN_LSH_SQL = (
+    "SELECT CAST("
+    + " + ".join(
+        f"CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(8)
+    )
+    + " AS INT) AS bucket, count(*) AS n FROM embeddings GROUP BY 1"
+)
+
+
+# --------------------------------------------------------------------------
+# 21. Embedding near-duplicate pairs (cosine >= threshold; dups in-query)
+# --------------------------------------------------------------------------
+
+
+def q_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dup = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "v"
+    )
+    c = e.unionByName(dup).withColumn(
+        "nrm",
+        F.expr("sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (a, x) -> a + x))"),
+    )
+    a = c.alias("a")
+    b = c.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    ).alias("b")
+    pairs = a.join(F.broadcast(b), F.col("vec_id") < F.col("vec_id_b"))
+    sims = pairs.withColumn(
+        "sim",
+        F.round(
+            F.expr("aggregate(zip_with(v, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+            / (F.col("nrm") * F.col("nb")),
+            6,
+        ),
+    )
+    return sims.filter(F.col("sim") >= 0.99).select(
+        F.col("vec_id").alias("a"), F.col("vec_id_b").alias("b")
+    )
+
+
+_NEAR_DUP_SQL = """
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 10 = 0
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM c
+)
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.99
+"""
+
+
+# --------------------------------------------------------------------------
+# 22. Event-time tumbling window aggregation (streaming-shaped batch query)
+# --------------------------------------------------------------------------
+
+
+def q_event_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+            "value",
+        )
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2)
+            .alias("sum_value"),
+        )
+    )
+
+
+_EVENT_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+
+def query_registry() -> dict[str, QueryFn]:
+    return {
+        "extract_spans": q_extract_spans,
+        "media_line_detect": q_media_line_detect,
+        "normalize_text": q_normalize_text,
+        "vocab_chars": q_vocab_chars,
+        "reading_order_rn": q_reading_order_rn,
+        "session_regroup": q_session_regroup,
+        "cer_by_lang": q_cer_by_lang,
+        "confidence_tiers": q_confidence_tiers,
+        "lineitem_agg": q_lineitem_agg,
+        "topk_per_group": q_topk_per_group,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "lang_pred": q_lang_pred,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "near_dup_cosine": q_near_dup_cosine,
+        "event_hourly": q_event_hourly,
+    }
+
+
+def oracle_registry() -> dict[str, str]:
+    return {
+        "extract_spans": expected_sql("documents"),
+        "media_line_detect": _MEDIA_DETECT_SQL.strip(),
+        "normalize_text": _NORMALIZE_SQL.strip(),
+        "vocab_chars": _VOCAB_SQL.strip(),
+        "reading_order_rn": _READING_ORDER_SQL.strip(),
+        "session_regroup": _SESSION_SQL.strip(),
+        "cer_by_lang": _CER_SQL.strip(),
+        "confidence_tiers": _TIERS_SQL.strip(),
+        "lineitem_agg": _LINEITEM_AGG_SQL.strip(),
+        "topk_per_group": _TOPK_SQL.strip(),
+        "dedup_exact": _DEDUP_EXACT_SQL.strip(),
+        "ngram_jaccard": _JACCARD_SQL.strip(),
+        "minhash_pairs": _minhash_sql().strip(),
+        "simhash": _simhash_sql().strip(),
+        "token_stats": _TOKEN_STATS_SQL.strip(),
+        "quality_score": _quality_sql().strip(),
+        "lang_pred": _LANG_PRED_SQL.strip(),
+        "doc_fingerprint": _FINGERPRINT_SQL.strip(),
+        "ann_topk": _ANN_TOPK_SQL.strip(),
+        "ann_lsh_buckets": _ANN_LSH_SQL.strip(),
+        "near_dup_cosine": _NEAR_DUP_SQL.strip(),
+        "event_hourly": _EVENT_HOURLY_SQL.strip(),
+    }

@@ -1,0 +1,36 @@
+"""Driver-contract smoke: entry() runs, registries are consistent."""
+
+from __future__ import annotations
+
+import importlib.util
+
+
+def _load_entry_module():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_returns_rows(spark):
+    mod = _load_entry_module()
+    df = mod.entry(spark)
+    assert df.count() > 0
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id",
+        "ord",
+        "kind",
+        "text",
+        "media_ref",
+    ]
+
+
+def test_every_query_has_oracle():
+    mod = _load_entry_module()
+    q, o = mod.queries(), mod.oracle_sql()
+    assert set(o) <= set(q)
+    # current surface: every query is fully oracle-checked
+    assert set(o) == set(q)
+    assert len(q) >= 20
