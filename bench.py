@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <sec>, "unit": "sec", "queries": {...}, "sf": ...}.
+
+The flagship number is end-to-end extraction wall time over the
+interleaved-document fixture. Fixture *construction* (rendering PNGs) is
+materialized to parquet first and excluded from the timed extraction —
+the metric measures the pipeline, not the synthetic data generator.
+`docs_per_sec` / `spans_per_sec` are reported alongside (BASELINE.md).
+
+Flags:
+  --extraction-only   time only the extraction (used by scripts/scaling.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE_QUERIES = [
+    "minhash_pairs",
+    "simhash",
+    "dedup_exact",
+    "ann_topk",
+    "cer_by_lang",
+    "session_regroup",
+    "lineitem_agg",
+    "event_hourly",
+]
+
+
+def _noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def materialize_fixture(spark, sf_dir: str, fix_dir: str) -> None:
+    """Render the spans+media fixture once and park it as parquet."""
+    from kiri_ocr_spark.fixtures import build_fixture
+
+    docs_path = os.path.join(fix_dir, "docs")
+    media_path = os.path.join(fix_dir, "media")
+    if os.path.exists(os.path.join(docs_path, "_SUCCESS")) and os.path.exists(
+        os.path.join(media_path, "_SUCCESS")
+    ):
+        return
+    docs, media = build_fixture(spark, sf_dir)
+    docs.write.mode("overwrite").parquet(docs_path)
+    media.write.mode("overwrite").parquet(media_path)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+    extraction_only = "--extraction-only" in sys.argv
+    sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf_label)
+    except ValueError:
+        sf = sf_label
+
+    from kiri_ocr_spark.pipeline import extract_flat
+    from kiri_ocr_spark.queries import query_registry
+    from kiri_ocr_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"kiri-bench-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(2 * cpus, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    fix_dir = os.environ.get(
+        "SPARK_GRAFT_FIXTURE_DIR", f"/tmp/kiri_fixture_{sf_label}"
+    )
+    os.makedirs(fix_dir, exist_ok=True)
+    t0 = time.monotonic()
+    materialize_fixture(spark, sf_dir, fix_dir)
+    t_fixture = time.monotonic() - t0
+
+    docs = spark.read.parquet(os.path.join(fix_dir, "docs"))
+    media = spark.read.parquet(os.path.join(fix_dir, "media"))
+    n_docs = docs.count()
+    n_spans = docs.selectExpr("sum(size(spans))").first()[0]
+
+    # warm-up: JVM + python workers + broadcast (small slice)
+    _noop_write(extract_flat(docs.limit(50), media, broadcast_media=True))
+
+    t0 = time.monotonic()
+    _noop_write(extract_flat(docs, media, broadcast_media=True))
+    t_extract = time.monotonic() - t0
+
+    timings: dict[str, float] = {"extract_spans": round(t_extract, 3)}
+    if not extraction_only:
+        registry = query_registry()
+        for name in HEADLINE_QUERIES:
+            t0 = time.monotonic()
+            _noop_write(registry[name](spark, sf_dir))
+            timings[name] = round(time.monotonic() - t0, 3)
+
+    result = {
+        "metric": "end-to-end interleaved-document extraction wall time",
+        "value": round(t_extract, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs": n_docs,
+        "spans": int(n_spans),
+        "docs_per_sec": round(n_docs / t_extract, 2),
+        "spans_per_sec": round(n_spans / t_extract, 2),
+        "cpus": cpus,
+        "fixture_build_sec": round(t_fixture, 3),
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

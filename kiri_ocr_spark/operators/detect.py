@@ -119,16 +119,18 @@ def line_bands(ink: np.ndarray, min_gap: int = 1) -> list[tuple[int, int]]:
     return bands
 
 
-def detect_lines(gray: np.ndarray) -> np.ndarray:
+def detect_lines(gray: np.ndarray, ink: np.ndarray | None = None) -> np.ndarray:
     """Media-span line detector: invert-if-dark -> Otsu -> CC +
     projection-profile bands -> per-band bbox, top-to-bottom order.
 
     Returns (n_lines, 5): x, y, w, h, confidence. Confidence is the
     fraction of the band's components that pass a minimal sanity filter —
-    1.0 on clean synthetic pages.
+    1.0 on clean synthetic pages. Pass a precomputed ``ink`` mask to skip
+    re-binarization (hot-path callers share one Otsu pass).
     """
-    gray = invert_if_dark(gray)
-    ink = binarize(gray)
+    if ink is None:
+        gray = invert_if_dark(gray)
+        ink = binarize(gray)
     bands = line_bands(ink)
     out = []
     for y0, y1 in bands:

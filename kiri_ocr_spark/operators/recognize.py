@@ -125,8 +125,8 @@ def extract_page_text(gray: np.ndarray) -> tuple[str, float, int]:
     """Full media-span kernel: detect lines, recognize each, join by \\n
     (reference assembly core.py:1160). Returns (text, mean_conf, n_lines)."""
     gray = invert_if_dark(gray)
-    boxes = detect_lines(gray)
     ink = binarize(gray)
+    boxes = detect_lines(gray, ink=ink)
     texts: list[str] = []
     confs: list[float] = []
     for box in boxes:

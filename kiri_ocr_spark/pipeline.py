@@ -128,7 +128,11 @@ def extract_span_rows(
     media_rows = spans.filter(F.col("kind") == "media").select(
         "doc_id", "offset", "kind", "media_ref"
     )
-    # explicit skew salting: spread a media-heavy doc's spans uniformly
+    # explicit skew salting: one media-heavy doc must spread across the
+    # cluster, and the OCR stage must be partitioned by ROW COUNT, not
+    # bytes — per-row kernel cost dwarfs per-row size, so AQE's byte-based
+    # coalescing would starve it (it can't see CPU cost). repartition(n, …)
+    # is REPARTITION_BY_NUM: AQE leaves the partition count alone.
     salted = media_rows.withColumn(
         "salt",
         F.pmod(F.xxhash64("doc_id", "media_ref"), F.lit(salt_buckets)).cast("int"),
@@ -136,12 +140,21 @@ def extract_span_rows(
     nparts = media_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    salted = salted.repartition(nparts, "salt", "doc_id")
-
-    payload = F.broadcast(media) if broadcast_media else media
-    joined = salted.join(payload, "media_ref").select(
-        "doc_id", "offset", "kind", "media_ref", "png_bytes"
-    )
+    if broadcast_media:
+        # small media store: broadcast payload; the slim ref side is
+        # pre-repartitioned and keeps its partitioning through the join,
+        # so image bytes never shuffle at all.
+        joined = (
+            salted.repartition(nparts, "salt", "doc_id")
+            .join(F.broadcast(media), "media_ref")
+        )
+    else:
+        # large media store: shuffle join on media_ref (unique per span ->
+        # inherently skew-free), then an explicit row-count repartition on
+        # the salt feeds the kernel uniform AQE-proof tasks. On a real
+        # cluster, bucket media by media_ref to make the join co-located.
+        joined = salted.join(media, "media_ref").repartition(nparts, "salt")
+    joined = joined.select("doc_id", "offset", "kind", "media_ref", "png_bytes")
 
     from .imaging.glyphs import template_index
 
@@ -187,8 +200,10 @@ def extract_flat(
 
 
 def extract_from_sf_dir(spark: SparkSession, sf_dir: str, **kwargs) -> DataFrame:
-    """Convenience: synthesize the fixture from a testdata dir and extract."""
+    """Convenience: synthesize the fixture from a testdata dir and extract.
+    Fixture media stores are small -> broadcast by default."""
     from .fixtures import build_fixture
 
+    kwargs.setdefault("broadcast_media", True)
     docs, media = build_fixture(spark, sf_dir)
     return extract_flat(docs, media, **kwargs)

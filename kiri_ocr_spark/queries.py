@@ -45,7 +45,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, media = build_fixture(spark, sf_dir)
-    return extract_flat(docs, media)
+    return extract_flat(docs, media, broadcast_media=True)
 
 
 # --------------------------------------------------------------------------
