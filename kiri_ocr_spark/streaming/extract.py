@@ -1,0 +1,122 @@
+"""Structured Streaming surface (SURVEY.md §2.10).
+
+The reference's "streaming" is generator-based incremental yielding of
+per-region / per-char results (/root/reference/kiri_ocr/core.py:795-1026,
+model.py:689-1153) — single-threaded lazy pull, no event time. The Spark
+analogue is:
+
+- ``stream_extract``: a file-source stream of document rows driven through
+  the SAME batch extraction stages (mapInPandas works unchanged in
+  streaming) with per-micro-batch assembly in ``foreachBatch``. Each
+  micro-batch holds whole documents (file-granular source), so the
+  groupBy(doc_id) assembly is complete within a batch — the analogue of
+  the reference's ``document_finished`` flag is batch completion.
+  Exactly-once at the sink comes from the checkpointLocation +
+  idempotent batch-id-suffixed parquet append.
+
+- ``stream_event_windows``: watermark + tumbling event-time window over
+  the ``events`` table — the late-data semantics the reference lacks
+  (§2.10: "no watermarks, event-time windows, or late-data semantics"),
+  included because a 100 TB ingestion pipeline needs them.
+
+At scale: swap the parquet file source for Kafka/Iceberg incremental scan;
+everything downstream is identical (the dataflow is source-agnostic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..pipeline import extract_flat
+
+DOCS_SCHEMA = (
+    "doc_id long, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
+
+
+def stream_extract(
+    spark: SparkSession,
+    docs_path: str,
+    media: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int = 4,
+    available_now: bool = True,
+    **extract_kwargs,
+) -> StreamingQuery:
+    """Stream documents from a parquet directory through the full
+    detect+recognize pipeline; append flat span rows to ``out_dir``."""
+    extract_kwargs.setdefault("broadcast_media", True)
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_path)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        flat = extract_flat(batch_df, media, **extract_kwargs)
+        flat.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_dir
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_event_windows(
+    spark: SparkSession,
+    events_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Watermarked tumbling-window aggregation over the events stream:
+    per (window, event_type) count + avg(value), append mode (windows emit
+    once the watermark passes their end — late rows beyond the delay are
+    dropped, bounding state at 100 TB scale)."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_path)
+        .withWatermark("ts", watermark_delay)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", window_duration), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,105 @@
+"""Structured Streaming tests (SURVEY.md §2.10 analogue).
+
+Streamed extraction must equal batch extraction row-for-row, and the
+watermarked window agg must match the batch groupBy for every window whose
+end precedes the final watermark (append-mode emission rule)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kiri_ocr_spark.fixtures import build_fixture
+from kiri_ocr_spark.pipeline import extract_flat
+from kiri_ocr_spark.streaming.extract import stream_event_windows, stream_extract
+
+TIMEOUT_S = 300
+
+
+@pytest.fixture(scope="module")
+def fixture_dirs(spark, sf_tiny, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream_fix")
+    docs, media = build_fixture(spark, sf_tiny)
+    docs_dir = str(base / "docs")
+    media_dir = str(base / "media")
+    # several files -> several micro-batches
+    docs.repartition(6).write.parquet(docs_dir)
+    media.write.parquet(media_dir)
+    return docs_dir, media_dir
+
+
+def test_stream_extract_equals_batch(spark, fixture_dirs, tmp_path):
+    docs_dir, media_dir = fixture_dirs
+    media = spark.read.parquet(media_dir)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_extract(spark, docs_dir, media, out, ckpt)
+    assert q.awaitTermination(TIMEOUT_S)
+
+    got = spark.read.parquet(out).drop("batch_id")
+    want = extract_flat(
+        spark.read.parquet(docs_dir), media, broadcast_media=True
+    )
+    cols = ["doc_id", "ord", "kind", "text", "media_ref"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+    # multiple micro-batches actually ran (maxFilesPerTrigger=4, 6 files)
+    n_batches = spark.read.parquet(out).select("batch_id").distinct().count()
+    assert n_batches >= 2
+
+
+def test_stream_extract_resume_is_exactly_once(spark, fixture_dirs, tmp_path):
+    """Restarting a finished availableNow query from its checkpoint must
+    not reprocess or duplicate anything."""
+    docs_dir, media_dir = fixture_dirs
+    media = spark.read.parquet(media_dir)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_extract(spark, docs_dir, media, out, ckpt)
+    assert q.awaitTermination(TIMEOUT_S)
+    n1 = spark.read.parquet(out).count()
+
+    q2 = stream_extract(spark, docs_dir, media, out, ckpt)
+    assert q2.awaitTermination(TIMEOUT_S)
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_event_windows_match_batch(spark, sf_tiny, tmp_path):
+    # the file stream source needs a directory, not a bare parquet file
+    events_path = str(tmp_path / "events_dir")
+    spark.read.parquet(f"{sf_tiny}/events.parquet").repartition(4).write.parquet(
+        events_path
+    )
+    out = str(tmp_path / "win_out")
+    ckpt = str(tmp_path / "win_ckpt")
+
+    q = stream_event_windows(spark, events_path, out, ckpt)
+    assert q.awaitTermination(TIMEOUT_S)
+
+    got = spark.read.parquet(out)
+    events = spark.read.parquet(events_path)
+    # append mode emits only windows closed by the final watermark
+    max_ts = events.agg(F.max("ts")).first()[0]
+    batch = (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+        .filter(F.col("win_end") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+    )
+    cols = ["win_start", "win_end", "event_type", "n_events", "avg_value"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, batch.select(cols).collect())
+    )
+    assert got.count() > 0
