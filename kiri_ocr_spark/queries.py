@@ -872,7 +872,101 @@ WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.99
 
 
 # --------------------------------------------------------------------------
-# 22. Event-time tumbling window aggregation (streaming-shaped batch query)
+# 22. Multimodal: PNG IHDR metadata (native expressions) vs the fixture's
+#     construction-known page geometry (glyphs.py layout contract)
+# --------------------------------------------------------------------------
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render the media table, then parse width/height/bit depth straight
+    out of the PNG bytes with pure Catalyst expressions (no UDF). The
+    oracle computes the same numbers from the renderer's layout contract
+    without ever touching a pixel."""
+    from .operators.multimodal import with_png_meta
+
+    _, media = build_fixture(spark, sf_dir)
+    return with_png_meta(media.select("media_ref", "png_bytes")).select(
+        "media_ref", "is_png", "width", "height", "bit_depth", "color_type"
+    )
+
+
+# glyph layout constants (imaging/glyphs.py): GLYPH_W=6 CHAR_GAP=1
+# SPACE_GAP=4 GLYPH_H=10 LINE_GAP=4 PAD_X=20 PAD_Y=10 SCALE=2
+# word of k chars = 7k-1 unit cols; one-line page height = 2*10+2*10 = 40;
+# two-line page height = 2*(2*10+4)+2*10 = 68.
+_MEDIA_META_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks,
+         doc_id % 3 + CASE WHEN doc_id % 97 = 0 THEN 16 ELSE 0 END AS n_media
+  FROM documents
+), d2 AS (
+  SELECT doc_id, toks, len(toks) AS nt, n_media FROM d WHERE n_media > 0
+), m AS (
+  SELECT 'img_' || doc_id || '_' || m AS media_ref,
+         len(toks[((m*3)*1 + 0) % nt + 1]) AS l0,
+         len(toks[((m*3)*1 + 1) % nt + 1]) AS l1,
+         len(toks[((m*3)*1 + 2) % nt + 1]) AS l2,
+         m % 2 AS odd
+  FROM d2, unnest(generate_series(0, n_media - 1)) AS g(m)
+)
+SELECT media_ref, TRUE AS is_png,
+       CAST(CASE WHEN odd = 1
+                 THEN 2 * greatest(7*(l0+l1) + 2, 7*l2 - 1) + 40
+                 ELSE 2 * (7*(l0+l1+l2) + 5) + 40 END AS INT) AS width,
+       CAST(CASE WHEN odd = 1 THEN 68 ELSE 40 END AS INT) AS height,
+       CAST(8 AS INT) AS bit_depth, CAST(0 AS INT) AS color_type
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# 23. Multimodal: perceptual dHash duplicate groups — the image analogue of
+#     text near-dup. Oracle: group sizes are known by construction (refs
+#     sharing (render_text, invert) render bit-identical pages).
+# --------------------------------------------------------------------------
+
+
+def q_image_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import with_image_dhash
+
+    _, media = build_fixture(spark, sf_dir)
+    hashes = with_image_dhash(media)
+    sizes = hashes.groupBy("dhash").agg(F.count("*").alias("dup_count"))
+    return (
+        sizes.groupBy("dup_count")
+        .agg(F.count("*").alias("n_groups"))
+        .select("dup_count", "n_groups")
+    )
+
+
+_DHASH_DUPS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks,
+         doc_id % 3 + CASE WHEN doc_id % 97 = 0 THEN 16 ELSE 0 END AS n_media
+  FROM documents
+), d2 AS (
+  SELECT doc_id, toks, len(toks) AS nt, n_media FROM d WHERE n_media > 0
+), m AS (
+  SELECT CASE WHEN m % 2 = 1
+              THEN toks[((m*3)*1 + 0) % nt + 1] || ' ' || toks[((m*3)*1 + 1) % nt + 1]
+                   || chr(10) || toks[((m*3)*1 + 2) % nt + 1]
+              ELSE toks[((m*3)*1 + 0) % nt + 1] || ' ' || toks[((m*3)*1 + 1) % nt + 1]
+                   || ' ' || toks[((m*3)*1 + 2) % nt + 1]
+         END AS render_text,
+         (m % 3 = 2) AS inverted
+  FROM d2, unnest(generate_series(0, n_media - 1)) AS g(m)
+), groups AS (
+  SELECT render_text, inverted, count(*) AS dup_count
+  FROM m GROUP BY 1, 2
+)
+SELECT dup_count, count(*) AS n_groups FROM groups GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 24. Event-time tumbling window aggregation (streaming-shaped batch query)
 # --------------------------------------------------------------------------
 
 
@@ -931,6 +1025,8 @@ def query_registry() -> dict[str, QueryFn]:
         "ann_topk": q_ann_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "near_dup_cosine": q_near_dup_cosine,
+        "media_meta": q_media_meta,
+        "image_dhash_dups": q_image_dhash_dups,
         "event_hourly": q_event_hourly,
     }
 
@@ -958,5 +1054,7 @@ def oracle_registry() -> dict[str, str]:
         "ann_topk": _ANN_TOPK_SQL.strip(),
         "ann_lsh_buckets": _ANN_LSH_SQL.strip(),
         "near_dup_cosine": _NEAR_DUP_SQL.strip(),
+        "media_meta": _MEDIA_META_SQL.strip(),
+        "image_dhash_dups": _DHASH_DUPS_SQL.strip(),
         "event_hourly": _EVENT_HOURLY_SQL.strip(),
     }
