@@ -66,10 +66,39 @@ def run_extraction(
     ckpt_dir: str,
     run_id: str,
     n_parts: int = 16,
+    waves: int = 1,
     **extract_kwargs,
 ) -> int:
     """Checkpointed extraction. Returns number of partitions processed this
-    invocation (0 = everything was already committed)."""
+    invocation (0 = everything was already committed).
+
+    ``waves`` > 1 commits output + lineage incrementally in that many
+    sub-jobs (wave w = partitions with part_id % waves == w), so a job
+    killed mid-run loses at most one wave of work instead of everything —
+    the commit cadence knob for the north_star's "resumes from the last
+    committed snapshot". At 10^12 docs each wave is one Iceberg snapshot."""
+    total = 0
+    for w in range(waves):
+        wave_docs = docs if waves == 1 else docs.filter(
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)) % waves == w
+        )
+        total += _run_pending(
+            spark, wave_docs, media, out_dir, ckpt_dir, run_id, n_parts,
+            **extract_kwargs,
+        )
+    return total
+
+
+def _run_pending(
+    spark: SparkSession,
+    docs: DataFrame,
+    media: DataFrame,
+    out_dir: str,
+    ckpt_dir: str,
+    run_id: str,
+    n_parts: int,
+    **extract_kwargs,
+) -> int:
     docs = with_part_id(docs, n_parts)
     done = committed_parts(spark, ckpt_dir, run_id)
     todo = docs.join(F.broadcast(done), "part_id", "left_anti")

@@ -821,6 +821,104 @@ _ANN_LSH_SQL = (
 
 
 # --------------------------------------------------------------------------
+# 20b. IVF approximate nearest neighbors — the coarse-quantizer scale path:
+#      assign every vector to its nearest of K deterministic centroids,
+#      probe the nprobe best cells per query, exact cosine only within
+#      probed cells. At 100 TB: centroids broadcast, assignment is one
+#      narrow pass, the candidate join touches nprobe/K of the corpus.
+# --------------------------------------------------------------------------
+
+_N_CELLS = 16
+_N_PROBE = 2
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", F.expr(f"sqrt({_DOT.format(a='v', b='v')})"))
+    )
+    # deterministic 'training' stand-in: centroids = vectors 0..K-1
+    c = e.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = e.join(F.broadcast(c)).withColumn(
+        "csim",
+        F.round(F.expr(_DOT.format(a="v", b="cv")) / (F.col("nrm") * F.col("cn")), 6),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", "cell_id")
+    )
+    probes = (
+        scored.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= _N_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "cell_id",
+        )
+    )
+    cand = probes.join(assigned, "cell_id").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    sims = cand.withColumn(
+        "sim",
+        F.round(F.expr(_DOT.format(a="qv", b="v")) / (F.col("qn") * F.col("nrm")), 6),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= _TOP_K)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "rk"
+        )
+    )
+
+
+_ANN_IVF_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e WHERE vec_id < {_N_CELLS}
+), scored AS (
+  SELECT e.vec_id, e.v, e.nrm, c.cell_id,
+         round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6) AS csim
+  FROM e, c
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY csim DESC, cell_id) AS rn
+  FROM scored
+), assigned AS (
+  SELECT vec_id, v, nrm, cell_id FROM ranked WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cell_id
+  FROM ranked WHERE vec_id < {_N_QUERIES} AND rn <= {_N_PROBE}
+), sims AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(list_dot_product(p.qv, a.v) / (p.qn * a.nrm), 6) AS sim
+  FROM probes p JOIN assigned a ON p.cell_id = a.cell_id
+  WHERE p.query_id <> a.vec_id
+), topk AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS INT) AS rk
+  FROM sims
+)
+SELECT query_id, neighbor_id, rk FROM topk WHERE rk <= {_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # 21. Embedding near-duplicate pairs (cosine >= threshold; dups in-query)
 # --------------------------------------------------------------------------
 
@@ -1024,6 +1122,7 @@ def query_registry() -> dict[str, QueryFn]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_topk": q_ann_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_ivf": q_ann_ivf,
         "near_dup_cosine": q_near_dup_cosine,
         "media_meta": q_media_meta,
         "image_dhash_dups": q_image_dhash_dups,
@@ -1053,6 +1152,7 @@ def oracle_registry() -> dict[str, str]:
         "doc_fingerprint": _FINGERPRINT_SQL.strip(),
         "ann_topk": _ANN_TOPK_SQL.strip(),
         "ann_lsh_buckets": _ANN_LSH_SQL.strip(),
+        "ann_ivf": _ANN_IVF_SQL.strip(),
         "near_dup_cosine": _NEAR_DUP_SQL.strip(),
         "media_meta": _MEDIA_META_SQL.strip(),
         "image_dhash_dups": _DHASH_DUPS_SQL.strip(),
