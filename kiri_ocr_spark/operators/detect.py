@@ -202,6 +202,94 @@ def reading_order(boxes: np.ndarray, tol_frac: float = 0.7) -> np.ndarray:
     return np.array(result, dtype=np.int64)
 
 
+def reading_order_db(boxes: np.ndarray, tol_frac: float = 0.8) -> np.ndarray:
+    """W2: DB-detector reading-order variant (db/model.py:265-333) — same
+    running-mean line grouping as W1 but tolerance 0.8*median_h and
+    within-line sort by LEFT EDGE x, not center. The two variants disagree
+    on purpose (SURVEY §2.5); keep both."""
+    if len(boxes) == 0:
+        return np.zeros(0, dtype=np.int64)
+    med_h = float(np.median(boxes[:, 3]))
+    cy = boxes[:, 1] + boxes[:, 3] / 2.0
+    order = np.argsort(cy, kind="stable")
+    lines: list[list[int]] = [[int(order[0])]]
+    sums: list[float] = [float(cy[order[0]])]
+    for idx in order[1:]:
+        idx = int(idx)
+        mean_cy = sums[-1] / len(lines[-1])
+        if abs(cy[idx] - mean_cy) < tol_frac * med_h:
+            lines[-1].append(idx)
+            sums[-1] += float(cy[idx])
+        else:
+            lines.append([idx])
+            sums.append(float(cy[idx]))
+    result: list[int] = []
+    for line in lines:
+        arr = np.array(line)
+        result.extend(arr[np.argsort(boxes[arr, 0], kind="stable")].tolist())
+    return np.array(result, dtype=np.int64)
+
+
+def bbox_hull(boxes: np.ndarray) -> np.ndarray:
+    """A4/A5/A6 shape: min/max hull over member boxes + mean confidence
+    (legacy:796-832, 906-927, 983-1000). boxes: (n, 5) x y w h conf."""
+    x0 = float(boxes[:, 0].min())
+    y0 = float(boxes[:, 1].min())
+    x1 = float((boxes[:, 0] + boxes[:, 2]).max())
+    y1 = float((boxes[:, 1] + boxes[:, 3]).max())
+    conf = float(boxes[:, 4].mean()) if boxes.shape[1] > 4 else 1.0
+    return np.array([x0, y0, x1 - x0, y1 - y0, conf])
+
+
+def group_blocks(line_boxes: np.ndarray) -> list[np.ndarray]:
+    """W6: group consecutive (y-sorted) line boxes into blocks — same block
+    while vertical gap <= max(2*median_gap, median_line_h) AND horizontal
+    overlap > 0.3 of the narrower line (legacy:929-981). Returns per-block
+    index arrays into ``line_boxes``."""
+    n = len(line_boxes)
+    if n == 0:
+        return []
+    order = np.argsort(line_boxes[:, 1], kind="stable")
+    tops = line_boxes[order, 1]
+    bottoms = tops + line_boxes[order, 3]
+    gaps = tops[1:] - bottoms[:-1]
+    med_gap = float(np.median(gaps)) if len(gaps) else 0.0
+    med_h = float(np.median(line_boxes[:, 3]))
+    tol = max(2.0 * med_gap, med_h)
+    lefts = line_boxes[order, 0]
+    rights = lefts + line_boxes[order, 2]
+    blocks: list[list[int]] = [[int(order[0])]]
+    for i in range(1, n):
+        overlap = min(rights[i], rights[i - 1]) - max(lefts[i], lefts[i - 1])
+        narrower = min(rights[i] - lefts[i], rights[i - 1] - lefts[i - 1])
+        same = gaps[i - 1] <= tol and narrower > 0 and overlap > 0.3 * narrower
+        if same:
+            blocks[-1].append(int(order[i]))
+        else:
+            blocks.append([int(order[i])])
+    return [np.array(b, dtype=np.int64) for b in blocks]
+
+
+def resize_keep_ratio_pad(
+    gray: np.ndarray, target_h: int = 48, target_w: int = 640, pad_val: int = 128
+) -> np.ndarray:
+    """F17: the recognizer input contract (model.py:311-331) — scale height
+    to target_h keeping aspect (nearest-neighbor; the sandbox has no cv2),
+    left-align, right-pad with gray(pad_val), center-crop if wider."""
+    h, w = gray.shape
+    new_w = max(1, round(w * target_h / h))
+    yi = (np.arange(target_h) * h) // target_h
+    xi = (np.arange(new_w) * w) // new_w
+    scaled = gray[yi][:, xi]
+    out = np.full((target_h, target_w), pad_val, dtype=np.uint8)
+    if new_w <= target_w:
+        out[:, :new_w] = scaled
+    else:
+        off = (new_w - target_w) // 2
+        out[:, :] = scaled[:, off : off + target_w]
+    return out
+
+
 def segment_words(line_stats: np.ndarray) -> list[np.ndarray]:
     """W5: split a line's x-sorted component stats into words at large gaps.
     Threshold = clamp(median(gaps)+std(gaps), 0.3*med_w, 2*med_w)

@@ -1,0 +1,379 @@
+"""KiriOCR model architecture in pure numpy (SURVEY §2.9 M1-M4).
+
+Re-expresses the reference's CNN-stem + transformer encoder + CTC head +
+autoregressive decoder (/root/reference/kiri_ocr/model.py:211-686) so the
+full "accurate"/"beam" decode paths exist and obey the reference's decode
+laws. Trained weights live on HF Hub and the sandbox has no network
+(core.py:191-217), so weights here are DETERMINISTIC seeDED random —
+exactness is asserted through the template recognizer (recognize.py);
+this module is tested for the architecture laws instead (SURVEY §7.4):
+shape contracts, CTC collapse laws, beam==greedy at BEAM=1, CTC length
+cap, batch==per-sample equivalence.
+
+The executor-side pattern matches production: build once per python worker
+from a broadcast config, batch whole Arrow record batches through
+``encode`` (the reason mapInPandas exists in this pipeline).
+
+Reference map:
+- CFG hyperparams                    model.py:24-69
+- CharTokenizer id spaces (+2 CTC: blank=0,pad=1; +3 dec: pad=0,bos=1,
+  eos=2), unk, CTC run-length decode model.py:83-144
+- sinusoidal 1D/2D pos-enc           model.py:148-208
+- ConvStem /8 height /4 width, pool to 1xW, 4-layer encoder, LayerNorm
+                                     model.py:211-307 (M1)
+- CTC head + greedy decode           model.py:263-268,672-686 (M2)
+- greedy decoder w/ CTC length cap   core.py:560-568, model.py:415-425 (M3)
+- beam search: BEAM=3, length-normalized score/((5+L)^0.8/6^0.8),
+  repeat penalties, UNK -10, early exit
+                                     model.py:390-600 (M4)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .recognize import ctc_collapse
+
+
+@dataclass
+class CFG:
+    IMG_H: int = 48
+    IMG_W: int = 640
+    D_MODEL: int = 64
+    N_HEADS: int = 4
+    N_ENC_LAYERS: int = 2
+    N_DEC_LAYERS: int = 2
+    FF_MULT: int = 4
+    MAX_DEC_LEN: int = 512
+    BEAM: int = 3
+    LEN_NORM_POW: float = 0.8
+    UNK_PENALTY: float = -10.0
+    REPEAT_PENALTY: float = -1.0
+    CTC_LEN_CAP_MULT: float = 1.3
+    CTC_LEN_CAP_ADD: int = 10
+    SEED: int = 0x4B495249  # 'KIRI'
+    charset: list[str] = field(default_factory=list)
+
+
+class CharTokenizer:
+    """Three id spaces, mirroring model.py:83-144: raw char ids; CTC ids
+    (+2: blank=0, pad=1); decoder ids (+3: pad=0, bos=1, eos=2)."""
+
+    CTC_BLANK, CTC_PAD = 0, 1
+    DEC_PAD, DEC_BOS, DEC_EOS = 0, 1, 2
+
+    def __init__(self, charset: list[str]):
+        self.chars = list(charset)
+        self.char_to_id = {c: i for i, c in enumerate(self.chars)}
+        self.unk_id = len(self.chars)  # raw-space <unk>
+        self.n_raw = len(self.chars) + 1
+        self.ctc_vocab = self.n_raw + 2
+        self.dec_vocab = self.n_raw + 3
+
+    def encode(self, text: str) -> np.ndarray:
+        return np.array(
+            [self.char_to_id.get(c, self.unk_id) for c in text], dtype=np.int64
+        )
+
+    def raw_to_ctc(self, ids: np.ndarray) -> np.ndarray:
+        return ids + 2
+
+    def raw_to_dec(self, ids: np.ndarray) -> np.ndarray:
+        return ids + 3
+
+    def decode_raw(self, ids: np.ndarray) -> str:
+        return "".join(
+            self.chars[i] if 0 <= i < len(self.chars) else "" for i in ids
+        )
+
+    def decode_ctc(self, ctc_ids: np.ndarray) -> str:
+        """Run-length collapse, drop blank/pad, shift back to raw chars."""
+        collapsed = ctc_collapse(np.asarray(ctc_ids), blank_id=self.CTC_BLANK)
+        collapsed = collapsed[collapsed != self.CTC_PAD]
+        return self.decode_raw(collapsed - 2)
+
+    def decode_dec(self, dec_ids: np.ndarray) -> str:
+        out = []
+        for i in dec_ids:
+            if i == self.DEC_EOS:
+                break
+            if i >= 3:
+                out.append(int(i) - 3)
+        return self.decode_raw(np.array(out, dtype=np.int64))
+
+
+# --- numerics ---------------------------------------------------------------
+
+
+def softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    m = x.max(axis=axis, keepdims=True)
+    e = np.exp(x - m)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def log_softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    m = x.max(axis=axis, keepdims=True)
+    s = x - m
+    return s - np.log(np.exp(s).sum(axis=axis, keepdims=True))
+
+
+def layer_norm(x: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
+    mu = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + 1e-5) * g + b
+
+
+def pos_enc_1d(length: int, d: int) -> np.ndarray:
+    """Sinusoidal 1D positional encoding (model.py:148-170)."""
+    pos = np.arange(length)[:, None].astype(np.float64)
+    div = np.exp(np.arange(0, d, 2) * (-np.log(10000.0) / d))
+    pe = np.zeros((length, d))
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div)
+    return pe
+
+
+def pos_enc_2d(h: int, w: int, d: int) -> np.ndarray:
+    """Sinusoidal 2D encoding: half the channels encode y, half x
+    (model.py:172-208)."""
+    half = d // 2
+    pe = np.zeros((h, w, d))
+    pe[:, :, :half] = pos_enc_1d(h, half)[:, None, :]
+    pe[:, :, half:] = pos_enc_1d(w, d - half)[None, :, :]
+    return pe
+
+
+# --- model ------------------------------------------------------------------
+
+
+def _mha(q, k, v, n_heads, wq, wk, wv, wo, mask=None):
+    """Multi-head attention over [B, T, D] arrays."""
+    B, Tq, D = q.shape
+    Tk = k.shape[1]
+    dh = D // n_heads
+
+    def split(x, w):
+        y = x @ w
+        return y.reshape(B, -1, n_heads, dh).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split(q, wq), split(k, wk), split(v, wv)
+    att = qh @ kh.transpose(0, 1, 3, 2) / np.sqrt(dh)
+    if mask is not None:
+        att = att + mask
+    out = softmax(att) @ vh  # [B, H, Tq, dh]
+    out = out.transpose(0, 2, 1, 3).reshape(B, Tq, D)
+    return out @ wo
+
+
+class NumpyKiriModel:
+    """CNN stem -> 2D pos-enc -> height pool -> transformer encoder ->
+    {CTC head, transformer decoder + LM head}, all numpy (M1-M4)."""
+
+    def __init__(self, cfg: CFG):
+        if not cfg.charset:
+            from ..imaging.glyphs import CHARSET
+
+            cfg.charset = list(CHARSET)
+        self.cfg = cfg
+        self.tok = CharTokenizer(cfg.charset)
+        rng = np.random.default_rng(cfg.SEED)
+        D = cfg.D_MODEL
+
+        def w(*shape, scale=None):
+            scale = scale or 1.0 / np.sqrt(shape[0])
+            return rng.normal(0.0, scale, size=shape)
+
+        # conv stem: 3 blocks of 3x3 conv stride 2 (height /8, width /4 via
+        # strides (2,2),(2,2),(2,1)) mirroring model.py:211-240's reduction
+        self.convs = []
+        cin = 1
+        for i, (sy, sx, cout) in enumerate([(2, 2, 16), (2, 2, 32), (2, 1, D)]):
+            self.convs.append(
+                {
+                    "k": w(3 * 3 * cin, cout, scale=0.1),
+                    "b": np.zeros(cout),
+                    "stride": (sy, sx),
+                    "cout": cout,
+                }
+            )
+            cin = cout
+        self.enc_layers = [
+            {
+                "wq": w(D, D), "wk": w(D, D), "wv": w(D, D), "wo": w(D, D),
+                "g1": np.ones(D), "b1": np.zeros(D),
+                "w1": w(D, D * cfg.FF_MULT), "bf1": np.zeros(D * cfg.FF_MULT),
+                "w2": w(D * cfg.FF_MULT, D), "bf2": np.zeros(D),
+                "g2": np.ones(D), "b2": np.zeros(D),
+            }
+            for _ in range(cfg.N_ENC_LAYERS)
+        ]
+        self.enc_ln = (np.ones(D), np.zeros(D))
+        self.ctc_head = (w(D, self.tok.ctc_vocab), np.zeros(self.tok.ctc_vocab))
+        self.dec_emb = w(self.tok.dec_vocab, D, scale=0.5)
+        self.dec_layers = [
+            {
+                "sq": w(D, D), "sk": w(D, D), "sv": w(D, D), "so": w(D, D),
+                "g1": np.ones(D), "b1": np.zeros(D),
+                "cq": w(D, D), "ck": w(D, D), "cv": w(D, D), "co": w(D, D),
+                "g2": np.ones(D), "b2": np.zeros(D),
+                "w1": w(D, D * cfg.FF_MULT), "bf1": np.zeros(D * cfg.FF_MULT),
+                "w2": w(D * cfg.FF_MULT, D), "bf2": np.zeros(D),
+                "g3": np.ones(D), "b3": np.zeros(D),
+            }
+            for _ in range(cfg.N_DEC_LAYERS)
+        ]
+        self.lm_head = (w(D, self.tok.dec_vocab), np.zeros(self.tok.dec_vocab))
+
+    # -- M1: encoder ---------------------------------------------------------
+
+    def _conv(self, x: np.ndarray, layer: dict) -> np.ndarray:
+        """3x3 same-pad strided conv via im2col; x: [B, H, W, Cin]."""
+        sy, sx = layer["stride"]
+        B, H, W, C = x.shape
+        xp = np.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        oh, ow = (H + sy - 1) // sy, (W + sx - 1) // sx
+        ys = np.arange(oh) * sy
+        xs = np.arange(ow) * sx
+        cols = np.empty((B, oh, ow, 3 * 3 * C))
+        for dy in range(3):
+            for dx in range(3):
+                patch = xp[:, ys + dy][:, :, xs + dx]
+                cols[..., (dy * 3 + dx) * C : (dy * 3 + dx + 1) * C] = patch
+        out = cols @ layer["k"] + layer["b"]
+        return np.maximum(out, 0.0)  # ReLU
+
+    def encode(self, images: np.ndarray) -> np.ndarray:
+        """[B, IMG_H, IMG_W] uint8/float -> [B, T, D] memory (M1).
+        T = IMG_W / 4 after the stem's width reduction."""
+        x = images.astype(np.float64) / 255.0
+        x = (x - 0.5) / 0.5  # model.py:334-339 normalize (F18)
+        x = x[..., None]
+        for layer in self.convs:
+            x = self._conv(x, layer)
+        B, H, W, D = x.shape
+        x = x + pos_enc_2d(H, W, D)[None]
+        mem = x.mean(axis=1)  # adaptive average pool height -> 1 x W
+        for ly in self.enc_layers:
+            a = _mha(mem, mem, mem, self.cfg.N_HEADS,
+                     ly["wq"], ly["wk"], ly["wv"], ly["wo"])
+            mem = layer_norm(mem + a, ly["g1"], ly["b1"])
+            ff = np.maximum(mem @ ly["w1"] + ly["bf1"], 0.0) @ ly["w2"] + ly["bf2"]
+            mem = layer_norm(mem + ff, ly["g2"], ly["b2"])
+        return layer_norm(mem, *self.enc_ln)
+
+    # -- M2: CTC head + greedy -----------------------------------------------
+
+    def ctc_logits(self, mem: np.ndarray) -> np.ndarray:
+        return mem @ self.ctc_head[0] + self.ctc_head[1]
+
+    def ctc_greedy(self, mem: np.ndarray) -> list[tuple[str, float]]:
+        """Per-frame argmax -> run-length collapse -> text + confidence
+        (mean per-frame max prob, A9; model.py:343-373,672-686)."""
+        logp = log_softmax(self.ctc_logits(mem))
+        out = []
+        for row in logp:
+            ids = row.argmax(axis=1)
+            conf = float(np.exp(row.max(axis=1)).mean())
+            out.append((self.tok.decode_ctc(ids), conf))
+        return out
+
+    # -- decoder forward -------------------------------------------------------
+
+    def _decode_step(self, dec_ids: np.ndarray, mem: np.ndarray) -> np.ndarray:
+        """Teacher-forced decoder forward: [B, L] ids x [B, T, D] memory ->
+        [B, L, dec_vocab] logits (causal self-attn + cross-attn)."""
+        B, L = dec_ids.shape
+        x = self.dec_emb[dec_ids] + pos_enc_1d(L, self.cfg.D_MODEL)[None]
+        causal = np.triu(np.full((L, L), -1e9), k=1)[None, None]
+        for ly in self.dec_layers:
+            a = _mha(x, x, x, self.cfg.N_HEADS,
+                     ly["sq"], ly["sk"], ly["sv"], ly["so"], mask=causal)
+            x = layer_norm(x + a, ly["g1"], ly["b1"])
+            c = _mha(x, mem, mem, self.cfg.N_HEADS,
+                     ly["cq"], ly["ck"], ly["cv"], ly["co"])
+            x = layer_norm(x + c, ly["g2"], ly["b2"])
+            ff = np.maximum(x @ ly["w1"] + ly["bf1"], 0.0) @ ly["w2"] + ly["bf2"]
+            x = layer_norm(x + ff, ly["g3"], ly["b3"])
+        return x @ self.lm_head[0] + self.lm_head[1]
+
+    def _len_cap(self, ctc_len: int) -> int:
+        """CTC length estimate caps decoder steps (model.py:415-425)."""
+        return min(
+            self.cfg.MAX_DEC_LEN,
+            int(self.cfg.CTC_LEN_CAP_MULT * ctc_len) + self.cfg.CTC_LEN_CAP_ADD,
+        )
+
+    # -- M3/M4: autoregressive decode ------------------------------------------
+
+    def beam_decode(self, mem_row: np.ndarray, beam: int | None = None) -> tuple[str, float]:
+        """Beam search with length-normalized scoring
+        score / ((5+L)^p / 6^p), n-gram repeat penalties, UNK penalty,
+        early exit when all beams emit EOS (model.py:390-600). beam=1
+        degenerates to greedy decode (M3)."""
+        cfg = self.cfg
+        beam = beam or cfg.BEAM
+        mem = mem_row[None]
+        ctc_text, _ = self.ctc_greedy(mem)[0]
+        max_len = self._len_cap(len(ctc_text))
+        bos, eos = self.tok.DEC_BOS, self.tok.DEC_EOS
+        unk_dec = self.tok.unk_id + 3
+        beams: list[tuple[list[int], float, bool]] = [([bos], 0.0, False)]
+        for _ in range(max_len):
+            if all(done for _, _, done in beams):
+                break  # early exit (model.py:444-445)
+            alive = [b for b in beams if not b[2]]
+            ids = np.array([b[0] for b in alive], dtype=np.int64)
+            logits = self._decode_step(ids, np.repeat(mem, len(alive), axis=0))
+            logp = log_softmax(logits[:, -1])
+            cand: list[tuple[list[int], float, bool]] = [
+                b for b in beams if b[2]
+            ]
+            for (seq, score, _), row in zip(alive, logp):
+                row = row.copy()
+                row[unk_dec] += cfg.UNK_PENALTY
+                # uni/bi-gram repeat penalties (model.py:506-535 family)
+                if len(seq) >= 1:
+                    row[seq[-1]] += cfg.REPEAT_PENALTY
+                if len(seq) >= 2:
+                    for j in range(len(seq) - 1):
+                        if seq[j] == seq[-1]:
+                            row[seq[j + 1]] += cfg.REPEAT_PENALTY / 2.0
+                top = np.argsort(-row, kind="stable")[:beam]
+                for t in top:
+                    cand.append(
+                        (seq + [int(t)], score + float(row[t]), int(t) == eos)
+                    )
+
+            def norm(item: tuple[list[int], float, bool]) -> float:
+                L = max(len(item[0]) - 1, 1)
+                return item[1] / ((5 + L) ** cfg.LEN_NORM_POW / 6**cfg.LEN_NORM_POW)
+
+            cand.sort(key=lambda it: (-norm(it), len(it[0])))
+            beams = cand[:beam]
+        def final_norm(item: tuple[list[int], float, bool]) -> float:
+            L = max(len(item[0]) - 1, 1)
+            return item[1] / ((5 + L) ** cfg.LEN_NORM_POW / 6**cfg.LEN_NORM_POW)
+
+        best = max(beams, key=final_norm)
+        seq = np.array(best[0][1:], dtype=np.int64)
+        conf = float(np.clip(np.exp(best[1] / max(len(seq), 1)), 0.0, 1.0))
+        return self.tok.decode_dec(seq), conf
+
+    def greedy_decode(self, mem_row: np.ndarray) -> tuple[str, float]:
+        """M3: 'accurate' mode = beam with BEAM=1 (core.py:560-568)."""
+        return self.beam_decode(mem_row, beam=1)
+
+
+_MODEL_SINGLETON: dict[int, NumpyKiriModel] = {}
+
+
+def get_model(cfg: CFG | None = None) -> NumpyKiriModel:
+    """Executor-process singleton (M8 analogue, core.py:53-54,220-231):
+    the model is materialized once per python worker; on a cluster the CFG
+    rides a broadcast variable and this cache is keyed by its seed."""
+    cfg = cfg or CFG()
+    if cfg.SEED not in _MODEL_SINGLETON:
+        _MODEL_SINGLETON[cfg.SEED] = NumpyKiriModel(cfg)
+    return _MODEL_SINGLETON[cfg.SEED]

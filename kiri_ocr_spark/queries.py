@@ -1064,6 +1064,66 @@ SELECT dup_count, count(*) AS n_groups FROM groups GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# 23b. Model-path decode (M1-M4): the numpy CNN+transformer recognizer over
+#      a deterministic media subset. Weights are seeded-random (no trained
+#      weights ship in-sandbox, SURVEY §7.4), so text content is not
+#      meaningful — the query demonstrates the distributed inference path:
+#      executor-singleton model, Arrow-batched encode, CTC + beam decode.
+#      Genuinely non-SQL-expressible -> no oracle (rows-only check).
+# --------------------------------------------------------------------------
+
+_MODEL_DECODE_SCHEMA = (
+    "media_ref string, ctc_len int, ctc_conf double, "
+    "beam_len int, beam_conf double"
+)
+
+
+def q_model_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .fixtures import build_fixture as _bf
+
+    _, media = _bf(spark, sf_dir)
+    sample = media.filter(F.expr("pmod(xxhash64(media_ref), 37) = 0")).select(
+        "media_ref", "png_bytes"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .imaging.png import decode_gray
+        from .operators.detect import invert_if_dark, resize_keep_ratio_pad
+        from .operators.model import get_model
+
+        model = get_model()  # singleton per python worker (M8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            imgs = np.stack(
+                [
+                    resize_keep_ratio_pad(invert_if_dark(decode_gray(bytes(b))))
+                    for b in pdf["png_bytes"]
+                ]
+            )
+            mem = model.encode(imgs)  # one batched forward per Arrow batch
+            rows = []
+            for ref, m, (ctc_text, ctc_conf) in zip(
+                pdf["media_ref"], mem, model.ctc_greedy(mem)
+            ):
+                beam_text, beam_conf = model.beam_decode(m)
+                rows.append(
+                    {
+                        "media_ref": ref,
+                        "ctc_len": len(ctc_text),
+                        "ctc_conf": round(float(ctc_conf), 6),
+                        "beam_len": len(beam_text),
+                        "beam_conf": round(float(beam_conf), 6),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return sample.mapInPandas(fn, schema=_MODEL_DECODE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
 # 24. Event-time tumbling window aggregation (streaming-shaped batch query)
 # --------------------------------------------------------------------------
 
@@ -1126,6 +1186,7 @@ def query_registry() -> dict[str, QueryFn]:
         "near_dup_cosine": q_near_dup_cosine,
         "media_meta": q_media_meta,
         "image_dhash_dups": q_image_dhash_dups,
+        "model_decode": q_model_decode,
         "event_hourly": q_event_hourly,
     }
 

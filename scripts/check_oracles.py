@@ -56,6 +56,11 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
+            if name not in oracles:  # non-SQL op: rows-only check
+                n = fn(spark, sf_dir).count()
+                assert n > 0, "no rows"
+                print(f"OK   {name:22s} rows={n} (rows-only, no oracle)")
+                continue
             got = canon(fn(spark, sf_dir).toPandas())
             exp = canon(con.execute(oracles[name]).df())
             if list(got.columns) != list(exp.columns):

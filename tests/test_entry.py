@@ -31,6 +31,8 @@ def test_every_query_has_oracle():
     mod = _load_entry_module()
     q, o = mod.queries(), mod.oracle_sql()
     assert set(o) <= set(q)
-    # current surface: every query is fully oracle-checked
-    assert set(o) == set(q)
+    # every query is oracle-checked except the genuinely non-SQL ones
+    # (driver contract: those get a rows-only check)
+    non_sql = {"model_decode"}
+    assert set(q) - set(o) == non_sql
     assert len(q) >= 20

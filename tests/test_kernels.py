@@ -270,3 +270,56 @@ def test_extract_page_text_exact_and_inverted():
         assert text == "\n".join(lines)
         assert n == 2
         assert conf == 1.0
+
+
+def test_reading_order_db_variant_sorts_by_left_edge():
+    from kiri_ocr_spark.operators.detect import reading_order, reading_order_db
+
+    # two boxes on one visual line: A is wide starting left but has center
+    # RIGHT of B's center; B is narrow on the right half
+    boxes = np.array(
+        [
+            [0.0, 0.0, 90.0, 10.0, 1.0],   # center x = 45
+            [50.0, 1.0, 20.0, 10.0, 1.0],  # center x = 60 > 45, left edge 50
+            [0.0, 40.0, 10.0, 10.0, 1.0],  # second line
+        ]
+    )
+    # W1 sorts within line by CENTER: A(45) then B(60)
+    assert reading_order(boxes).tolist() == [0, 1, 2]
+    # W2 sorts by LEFT EDGE: A(0) then B(50) — same here; flip to expose:
+    boxes2 = boxes.copy()
+    boxes2[0, 0], boxes2[0, 2] = 30.0, 90.0   # A: left 30, center 75
+    boxes2[1, 0], boxes2[1, 2] = 40.0, 20.0   # B: left 40, center 50
+    assert reading_order(boxes2).tolist() == [1, 0, 2]      # by center
+    assert reading_order_db(boxes2).tolist() == [0, 1, 2]   # by left edge
+
+
+def test_bbox_hull():
+    from kiri_ocr_spark.operators.detect import bbox_hull
+
+    boxes = np.array([[0, 0, 10, 10, 0.8], [5, 5, 10, 10, 0.4]], dtype=float)
+    hull = bbox_hull(boxes)
+    assert hull[:4].tolist() == [0.0, 0.0, 15.0, 15.0]
+    assert abs(hull[4] - 0.6) < 1e-12
+
+
+def test_group_blocks_vertical_gap_and_overlap():
+    from kiri_ocr_spark.operators.detect import group_blocks
+
+    # three tight lines, a big gap, then one more; all x-aligned
+    lines = np.array(
+        [
+            [0, 0, 100, 10, 1.0],
+            [0, 14, 100, 10, 1.0],
+            [0, 28, 100, 10, 1.0],
+            [0, 100, 100, 10, 1.0],
+        ],
+        dtype=float,
+    )
+    blocks = group_blocks(lines)
+    assert [b.tolist() for b in blocks] == [[0, 1, 2], [3]]
+    # same gaps but no x-overlap -> separate blocks
+    lines2 = lines.copy()
+    lines2[1, 0] = 200.0
+    blocks2 = group_blocks(lines2[:2])
+    assert len(blocks2) == 2

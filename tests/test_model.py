@@ -1,0 +1,139 @@
+"""Architecture-law tests for the numpy KiriOCR model (SURVEY §7.4:
+'the transformer path is implemented and unit-tested for shape/decode
+laws, exactness asserted only where weights exist')."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kiri_ocr_spark.operators.detect import resize_keep_ratio_pad
+from kiri_ocr_spark.operators.model import (
+    CFG,
+    CharTokenizer,
+    NumpyKiriModel,
+    get_model,
+    log_softmax,
+    pos_enc_1d,
+    pos_enc_2d,
+    softmax,
+)
+
+
+@pytest.fixture(scope="module")
+def model() -> NumpyKiriModel:
+    return get_model(CFG())
+
+
+def test_tokenizer_id_spaces():
+    tok = CharTokenizer(["a", "b", "c"])
+    raw = tok.encode("abca")
+    assert raw.tolist() == [0, 1, 2, 0]
+    assert tok.encode("z").tolist() == [tok.unk_id]
+    # CTC space: +2 (blank=0, pad=1); decoder space: +3 (pad=0,bos=1,eos=2)
+    assert tok.raw_to_ctc(raw).tolist() == [2, 3, 4, 2]
+    assert tok.raw_to_dec(raw).tolist() == [3, 4, 5, 3]
+    assert tok.ctc_vocab == 4 + 2 and tok.dec_vocab == 4 + 3
+
+
+def test_tokenizer_ctc_decode_law():
+    """decode_ctc(blank-padded repeats) == collapsed string (model.py law)."""
+    tok = CharTokenizer(["a", "b"])
+    a, b, blank, pad = 2, 3, 0, 1
+    seq = [blank, a, a, blank, a, b, b, pad, blank, b]
+    assert tok.decode_ctc(np.array(seq)) == "aabb"[:3] + "b"  # 'a','a','b','b'
+    assert tok.decode_ctc(np.array([blank, blank])) == ""
+    assert tok.decode_ctc(np.array([a] * 50)) == "a"
+
+
+def test_dec_decode_stops_at_eos():
+    tok = CharTokenizer(["a", "b"])
+    ids = [3, 4, tok.DEC_EOS, 3, 3]
+    assert tok.decode_dec(np.array(ids)) == "ab"
+
+
+def test_softmax_layernorm_numerics():
+    x = np.array([[1e9, 1e9 + 1.0]])
+    s = softmax(x)
+    assert np.isfinite(s).all() and abs(s.sum() - 1) < 1e-9
+    lp = log_softmax(x)
+    assert np.isfinite(lp).all()
+
+
+def test_pos_enc_shapes_and_range():
+    pe = pos_enc_1d(160, 64)
+    assert pe.shape == (160, 64) and np.abs(pe).max() <= 1.0
+    pe2 = pos_enc_2d(6, 160, 64)
+    assert pe2.shape == (6, 160, 64)
+    # y-half varies along rows, x-half along cols
+    assert not np.allclose(pe2[0, 0, :32], pe2[1, 0, :32])
+    assert np.allclose(pe2[0, 0, 32:], pe2[1, 0, 32:])
+
+
+def test_encoder_shape_contract(model):
+    """[B, 48, 640] -> [B, 160, D]: stem reduces height /8 width /4 then
+    pools height to 1 (model.py:211-307 contract)."""
+    imgs = np.full((2, 48, 640), 128, dtype=np.uint8)
+    mem = model.encode(imgs)
+    assert mem.shape == (2, 160, model.cfg.D_MODEL)
+    assert np.isfinite(mem).all()
+
+
+def test_encoder_batch_equals_per_sample(model):
+    rng = np.random.default_rng(3)
+    imgs = (rng.random((3, 48, 640)) * 255).astype(np.uint8)
+    batched = model.encode(imgs)
+    singles = np.concatenate([model.encode(imgs[i : i + 1]) for i in range(3)])
+    assert np.allclose(batched, singles, atol=1e-9)
+
+
+def test_ctc_greedy_matches_tokenizer_law(model):
+    rng = np.random.default_rng(4)
+    imgs = (rng.random((2, 48, 640)) * 255).astype(np.uint8)
+    mem = model.encode(imgs)
+    logp = log_softmax(model.ctc_logits(mem))
+    for row, (text, conf) in zip(logp, model.ctc_greedy(mem)):
+        assert text == model.tok.decode_ctc(row.argmax(axis=1))
+        assert 0.0 <= conf <= 1.0
+
+
+def test_beam1_equals_greedy(model):
+    rng = np.random.default_rng(5)
+    img = (rng.random((48, 640)) * 255).astype(np.uint8)
+    mem = model.encode(img[None])[0]
+    assert model.beam_decode(mem, beam=1) == model.greedy_decode(mem)
+
+
+def test_decoder_length_cap(model):
+    """Decoded length <= min(MAX_DEC_LEN, 1.3*ctc_len+10) (model.py:415-425)."""
+    rng = np.random.default_rng(6)
+    img = (rng.random((48, 640)) * 255).astype(np.uint8)
+    mem = model.encode(img[None])[0]
+    ctc_text, _ = model.ctc_greedy(mem[None])[0]
+    cap = min(model.cfg.MAX_DEC_LEN, int(1.3 * len(ctc_text)) + 10)
+    text, conf = model.beam_decode(mem)
+    assert len(text) <= cap
+    assert 0.0 <= conf <= 1.0
+
+
+def test_model_deterministic_across_instances():
+    a = NumpyKiriModel(CFG())
+    b = NumpyKiriModel(CFG())
+    img = np.full((1, 48, 640), 200, dtype=np.uint8)
+    assert np.allclose(a.encode(img), b.encode(img))
+
+
+def test_singleton_reuse():
+    assert get_model(CFG()) is get_model(CFG())
+
+
+def test_resize_keep_ratio_pad_contract():
+    """F17 shape law: height -> 48 keep ratio, left-pad to 640 with
+    gray(128), center-crop if wider (model.py:311-331)."""
+    tall = np.zeros((96, 400), dtype=np.uint8)
+    out = resize_keep_ratio_pad(tall)
+    assert out.shape == (48, 640)
+    assert (out[:, :200] == 0).all() and (out[:, 200:] == 128).all()
+    wide = np.zeros((48, 1400), dtype=np.uint8)
+    out2 = resize_keep_ratio_pad(wide)
+    assert out2.shape == (48, 640) and (out2 == 0).all()
