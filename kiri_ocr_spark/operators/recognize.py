@@ -56,6 +56,44 @@ def ctc_greedy_decode(log_probs: np.ndarray, blank_id: int = BLANK_ID) -> tuple[
     return ctc_collapse(ids, blank_id), conf
 
 
+def ctc_forward_score(log_probs: np.ndarray, target: np.ndarray,
+                      blank_id: int = BLANK_ID) -> float:
+    """F22: CTC forward-algorithm alignment log-score of ``target`` (label
+    ids, no blanks) against the (T, V) log-prob lattice — the standard
+    blank-extended DP (/root/reference/kiri_ocr/model.py:603-668).
+    Returns -inf when the target cannot be aligned (longer than frames
+    allow)."""
+    T = len(log_probs)
+    target = np.asarray(target, dtype=np.int64)
+    L = len(target)
+    if L == 0:
+        return float(log_probs[:, blank_id].sum()) if T else 0.0
+    # extended sequence: blank, t0, blank, t1, ..., blank  (length 2L+1)
+    ext = np.full(2 * L + 1, blank_id, dtype=np.int64)
+    ext[1::2] = target
+    S = len(ext)
+    NEG = -np.inf
+    alpha = np.full(S, NEG)
+    alpha[0] = log_probs[0, blank_id]
+    if S > 1:
+        alpha[1] = log_probs[0, ext[1]]
+    for t in range(1, T):
+        prev = alpha
+        alpha = np.full(S, NEG)
+        for s in range(S):
+            best = prev[s]
+            if s >= 1:
+                best = np.logaddexp(best, prev[s - 1])
+            # skip a blank between two DIFFERENT labels
+            if s >= 2 and ext[s] != blank_id and ext[s] != ext[s - 2]:
+                best = np.logaddexp(best, prev[s - 2])
+            alpha[s] = best + log_probs[t, ext[s]]
+    end = alpha[S - 1]
+    if S > 1:
+        end = np.logaddexp(end, alpha[S - 2])
+    return float(end)
+
+
 def _cell_frames(cells: list[tuple[np.ndarray, bool]]) -> np.ndarray:
     """Build the frame lattice: each glyph cell emits 2 identical frames,
     each gap a blank frame, each space gap blank+space+blank frames.

@@ -1064,6 +1064,64 @@ SELECT dup_count, count(*) AS n_groups FROM groups GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# 23a2. Word segmentation (W5 family): per detected line, split words at
+#       blank-column gaps >= the space threshold and count them. The oracle
+#       knows each rendered line's word count by construction (even media
+#       index -> one 3-word line; odd -> a 2-word and a 1-word line).
+# --------------------------------------------------------------------------
+
+
+def _word_seg_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .imaging.glyphs import GLYPH_H
+    from .imaging.png import decode_gray
+    from .operators.detect import binarize, detect_lines, invert_if_dark
+    from .operators.recognize import _segment_cells
+
+    for pdf in batches:
+        refs, line_idx, n_words = [], [], []
+        for ref, blob in zip(pdf["media_ref"], pdf["png_bytes"]):
+            gray = invert_if_dark(decode_gray(bytes(blob)))
+            ink = binarize(gray)
+            for i, box in enumerate(detect_lines(gray, ink=ink)):
+                x, y, w, h = (int(box[0]), int(box[1]), int(box[2]), int(box[3]))
+                crop = ink[y : y + h, x : x + w]
+                scale = max(1, h // GLYPH_H)
+                cells = _segment_cells(crop[0::scale, 0::scale])
+                refs.append(ref)
+                line_idx.append(i)
+                n_words.append(
+                    1 + sum(sp for _, sp in cells) if cells else 0
+                )
+        yield pd.DataFrame(
+            {"media_ref": refs, "line_idx": line_idx, "n_words": n_words}
+        )
+
+
+def q_word_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, media = build_fixture(spark, sf_dir)
+    return media.mapInPandas(
+        _word_seg_batches, schema="media_ref string, line_idx int, n_words int"
+    )
+
+
+_WORD_SEG_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 3 + CASE WHEN doc_id % 97 = 0 THEN 16 ELSE 0 END AS n_media
+  FROM documents
+), m AS (
+  SELECT 'img_' || doc_id || '_' || m AS media_ref, m % 2 AS odd
+  FROM d, unnest(generate_series(0, n_media - 1)) AS g(m)
+  WHERE n_media > 0
+)
+SELECT media_ref, CAST(line_idx AS INT) AS line_idx,
+       CAST(CASE WHEN odd = 0 THEN 3
+                 WHEN line_idx = 0 THEN 2 ELSE 1 END AS INT) AS n_words
+FROM m, unnest(CASE WHEN odd = 1 THEN [0, 1] ELSE [0] END) AS l(line_idx)
+"""
+
+
+# --------------------------------------------------------------------------
 # 23b. Model-path decode (M1-M4): the numpy CNN+transformer recognizer over
 #      a deterministic media subset. Weights are seeded-random (no trained
 #      weights ship in-sandbox, SURVEY §7.4), so text content is not
@@ -1071,6 +1129,71 @@ SELECT dup_count, count(*) AS n_groups FROM groups GROUP BY 1
 #      executor-singleton model, Arrow-batched encode, CTC + beam decode.
 #      Genuinely non-SQL-expressible -> no oracle (rows-only check).
 # --------------------------------------------------------------------------
+
+# --------------------------------------------------------------------------
+# 23c. Multi-method candidate finders (U1/U2, F14/F15, P4/P5/P7/P8): the
+#      legacy-detector parity path — CC ∪ MSER ∪ gradient candidates,
+#      NMS-deduped, reference size/aspect filters, grouped into lines.
+#      Candidate counts are emergent (not construction-predictable) ->
+#      rows-only check on a deterministic subset.
+# --------------------------------------------------------------------------
+
+
+def q_finder_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .fixtures import build_fixture as _bf
+
+    _, media = _bf(spark, sf_dir)
+    sample = media.filter(F.expr("pmod(xxhash64(media_ref), 23) = 0")).select(
+        "media_ref", "png_bytes"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .imaging.png import decode_gray
+        from .operators.components import (
+            filter_components,
+            relative_size_filter,
+        )
+        from .operators.detect import binarize, group_into_lines, invert_if_dark
+        from .operators.finders import (
+            estimate_text_metrics,
+            gradient_components,
+            mser_regions,
+            multi_method_candidates,
+        )
+
+        for pdf in batches:
+            rows = []
+            for ref, blob in zip(pdf["media_ref"], pdf["png_bytes"]):
+                gray = invert_if_dark(decode_gray(bytes(blob)))
+                ink = binarize(gray)
+                merged = multi_method_candidates(gray, ink)
+                kept = merged
+                if len(kept):
+                    kept = filter_components(kept, gray.shape[1], gray.shape[0])
+                    kept = relative_size_filter(kept)
+                med_h, med_w, pad = estimate_text_metrics(kept)
+                rows.append(
+                    {
+                        "media_ref": ref,
+                        "n_mser": len(mser_regions(gray)),
+                        "n_gradient": len(gradient_components(gray)),
+                        "n_merged": len(merged),
+                        "n_kept": len(kept),
+                        "n_lines": len(group_into_lines(kept)),
+                        "median_h": float(med_h),
+                        "padding": float(pad),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return sample.mapInPandas(
+        fn,
+        schema=(
+            "media_ref string, n_mser int, n_gradient int, n_merged int, "
+            "n_kept int, n_lines int, median_h double, padding double"
+        ),
+    )
+
 
 _MODEL_DECODE_SCHEMA = (
     "media_ref string, ctc_len int, ctc_conf double, "
@@ -1186,6 +1309,8 @@ def query_registry() -> dict[str, QueryFn]:
         "near_dup_cosine": q_near_dup_cosine,
         "media_meta": q_media_meta,
         "image_dhash_dups": q_image_dhash_dups,
+        "word_segmentation": q_word_segmentation,
+        "finder_candidates": q_finder_candidates,
         "model_decode": q_model_decode,
         "event_hourly": q_event_hourly,
     }
@@ -1217,5 +1342,6 @@ def oracle_registry() -> dict[str, str]:
         "near_dup_cosine": _NEAR_DUP_SQL.strip(),
         "media_meta": _MEDIA_META_SQL.strip(),
         "image_dhash_dups": _DHASH_DUPS_SQL.strip(),
+        "word_segmentation": _WORD_SEG_SQL.strip(),
         "event_hourly": _EVENT_HOURLY_SQL.strip(),
     }

@@ -33,6 +33,6 @@ def test_every_query_has_oracle():
     assert set(o) <= set(q)
     # every query is oracle-checked except the genuinely non-SQL ones
     # (driver contract: those get a rows-only check)
-    non_sql = {"model_decode"}
+    non_sql = {"model_decode", "finder_candidates"}
     assert set(q) - set(o) == non_sql
     assert len(q) >= 20

@@ -1,0 +1,152 @@
+"""Multi-method finders (F14/F15/U1/P7/P8), metrics (A3), containment
+(J2/J3), CTC forward (F22), overlay/report sinks (S9/S10)."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+
+from kiri_ocr_spark.imaging.glyphs import render_page
+from kiri_ocr_spark.imaging.overlay import conf_tier, draw_overlay, html_report
+from kiri_ocr_spark.operators.detect import binarize, invert_if_dark
+from kiri_ocr_spark.operators.finders import (
+    assign_to_containers,
+    box_contains,
+    estimate_text_metrics,
+    gradient_components,
+    mser_regions,
+    multi_method_candidates,
+    point_in_box,
+)
+from kiri_ocr_spark.operators.recognize import ctc_forward_score
+
+
+@pytest.fixture(scope="module")
+def page():
+    return render_page(["hello world", "spark graft engine"])
+
+
+def test_mser_finds_text_regions(page):
+    cands = mser_regions(page)
+    assert len(cands) > 0
+    # candidates sit inside the page and have sane areas
+    assert (cands[:, 0] >= 0).all() and (cands[:, 1] >= 0).all()
+    areas = cands[:, 2] * cands[:, 3]
+    assert (areas >= 30).all() and (areas <= 14400).all()
+
+
+def test_mser_blank_page_empty():
+    blank = np.full((60, 200), 255, dtype=np.uint8)
+    assert len(mser_regions(blank)) == 0
+
+
+def test_gradient_components_on_text(page):
+    cands = gradient_components(page)
+    assert len(cands) > 0
+    aspects = cands[:, 2] / np.maximum(cands[:, 3], 1)
+    assert ((aspects > 0.05) & (aspects < 15)).all()
+
+
+def test_multi_method_union_dedups(page):
+    gray = invert_if_dark(page)
+    ink = binarize(gray)
+    merged = multi_method_candidates(gray, ink)
+    assert len(merged) > 0
+    # NMS post-condition: no surviving pair overlaps > 0.5 IoU
+    from kiri_ocr_spark.operators.components import iou
+
+    for a, b in itertools.combinations(range(min(len(merged), 40)), 2):
+        assert iou(merged[a, :4], merged[b, :4]) <= 0.5
+
+
+def test_estimate_text_metrics():
+    stats = np.array([[0, 0, 10, 20, 1], [5, 5, 12, 22, 1], [9, 9, 11, 100, 1]])
+    med_h, med_w, pad = estimate_text_metrics(stats)
+    assert med_h == 22 and med_w == 11
+    assert pad == pytest.approx(max(2.0, 0.15 * 22))
+    assert estimate_text_metrics(np.zeros((0, 5)))[2] == 2.0
+
+
+def test_containment_predicates():
+    outer = np.array([0.0, 0.0, 100.0, 50.0])
+    inner = np.array([10.0, 10.0, 20.0, 20.0])
+    assert box_contains(outer, inner) and not box_contains(inner, outer)
+    assert point_in_box(20.0, 20.0, outer) and not point_in_box(200.0, 20.0, outer)
+
+
+def test_assign_to_containers():
+    blocks = np.array([[0, 0, 100, 40, 1.0], [0, 100, 100, 40, 1.0]])
+    lines = np.array(
+        [[10, 5, 50, 10, 1.0], [10, 110, 50, 10, 1.0], [10, 60, 50, 10, 1.0]]
+    )
+    assert assign_to_containers(lines, blocks).tolist() == [0, 1, -1]
+
+
+# --- F22 CTC forward --------------------------------------------------------
+
+
+def _brute_force_ctc(logp: np.ndarray, target: list[int], blank: int = 0) -> float:
+    """Sum over ALL alignments that collapse to target (tiny T only)."""
+    T, V = logp.shape
+    total = -np.inf
+    for path in itertools.product(range(V), repeat=T):
+        ids = np.array(path)
+        keep = np.ones(T, dtype=bool)
+        keep[1:] = ids[1:] != ids[:-1]
+        collapsed = ids[keep]
+        collapsed = collapsed[collapsed != blank]
+        if collapsed.tolist() == target:
+            total = np.logaddexp(total, float(logp[np.arange(T), ids].sum()))
+    return total
+
+
+def test_ctc_forward_matches_brute_force():
+    rng = np.random.default_rng(11)
+    for T, V in ((3, 3), (4, 3), (5, 2)):
+        logits = rng.normal(size=(T, V))
+        logp = logits - np.log(np.exp(logits).sum(axis=1, keepdims=True))
+        targets = [[1], [1, 1]] + ([[1, 2], [2, 1, 2]] if V > 2 else [[1, 1, 1]])
+        for target in targets:
+            got = ctc_forward_score(logp, np.array(target))
+            want = _brute_force_ctc(logp, target)
+            if np.isinf(want):
+                assert np.isinf(got)
+            else:
+                assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_ctc_forward_edge_cases():
+    logp = np.log(np.full((3, 2), 0.5))
+    assert ctc_forward_score(logp, np.array([], dtype=int)) == pytest.approx(
+        3 * np.log(0.5)
+    )
+    # target longer than frames can align -> -inf
+    assert np.isinf(ctc_forward_score(logp, np.array([1, 1, 1])))
+
+
+# --- S9/S10 sinks -------------------------------------------------------------
+
+
+def test_overlay_draws_tiered_borders(page):
+    boxes = np.array([[5, 5, 30, 10, 0.95], [40, 5, 30, 10, 0.75], [5, 30, 30, 10, 0.2]])
+    out = draw_overlay(page, boxes)
+    assert out.shape == page.shape
+    assert out[5, 6] == 60 and out[5, 41] == 150 and out[30, 6] == 230
+    assert (draw_overlay(page, np.zeros((0, 5))) == page).all()
+
+
+def test_conf_tiers_match_reference_cutoffs():
+    assert conf_tier(0.95) == 0 and conf_tier(0.71) == 1 and conf_tier(0.7) == 2
+
+
+def test_html_report_contains_rows_and_stats():
+    html = html_report(
+        [
+            {"text": "hi <b>", "confidence": 0.95, "box": (1, 2, 3, 4)},
+            {"text": "lo", "confidence": 0.1, "box": (5, 6, 7, 8)},
+        ]
+    )
+    assert "2 regions" in html and "high: 1" in html and "low: 1" in html
+    assert "hi &lt;b&gt;" in html  # escaped
