@@ -74,6 +74,98 @@ def stream_extract(
     return writer.start()
 
 
+CUMULATIVE_OUTPUT_SCHEMA = (
+    "doc_id long, n_spans int, cumulative_text string, document_finished boolean"
+)
+CUMULATIVE_STATE_SCHEMA = "offsets array<int>, texts array<string>, total int"
+
+
+def stream_cumulative_text(
+    spark: SparkSession,
+    span_rows_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int = 2,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Custom stateful operator (applyInPandasWithState): the Spark
+    analogue of the reference's streaming cumulative-text fold
+    (/root/reference/kiri_ocr/core.py:1028-1102) — as span results arrive
+    for a document, keep per-doc state of (offset, text) pairs and emit
+    the offset-ordered cumulative text plus the ``document_finished``
+    analogue (all expected spans seen; the input carries n_total).
+
+    Input: a parquet directory of extraction span rows
+    (doc_id long, offset int, text string, n_total int).
+    State is bounded per doc and dropped once finished."""
+    import pandas as pd  # noqa: F811
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = "doc_id long, offset int, text string, n_total int"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(span_rows_path)
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        offsets: list[int] = []
+        texts: list[str] = []
+        total = 0
+        if state.exists:
+            offsets, texts, total = (
+                list(state.get[0]),
+                list(state.get[1]),
+                int(state.get[2]),
+            )
+        for pdf in pdfs:
+            offsets.extend(int(o) for o in pdf["offset"])
+            texts.extend("" if t is None else str(t) for t in pdf["text"])
+            if len(pdf):
+                total = int(pdf["n_total"].iloc[0])
+        order = sorted(range(len(offsets)), key=lambda i: offsets[i])
+        cumulative = "\n".join(texts[i] for i in order)
+        finished = total > 0 and len(offsets) >= total
+        if finished:
+            state.remove()  # bounded state: drop completed docs
+        else:
+            state.update((offsets, texts, total))
+        yield pd.DataFrame(
+            {
+                "doc_id": [key[0]],
+                "n_spans": [len(offsets)],
+                "cumulative_text": [cumulative],
+                "document_finished": [finished],
+            }
+        )
+
+    folded = stream.groupBy("doc_id").applyInPandasWithState(
+        fold,
+        outputStructType=CUMULATIVE_OUTPUT_SCHEMA,
+        stateStructType=CUMULATIVE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    writer = (
+        folded.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_event_windows(
     spark: SparkSession,
     events_path: str,

@@ -103,3 +103,54 @@ def test_event_windows_match_batch(spark, sf_tiny, tmp_path):
         map(tuple, batch.select(cols).collect())
     )
     assert got.count() > 0
+
+
+def test_cumulative_text_stateful_fold(spark, sf_tiny, tmp_path):
+    """applyInPandasWithState cumulative fold == batch assembly, with
+    document_finished once all spans arrived and state dropped."""
+    from kiri_ocr_spark.streaming.extract import stream_cumulative_text
+
+    docs = spark.read.parquet(f"{sf_tiny}/documents.parquet").limit(200)
+    from kiri_ocr_spark.fixtures import build_documents
+
+    spans = (
+        build_documents(docs)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+            F.coalesce(F.col("s.text"), F.col("s.media_ref")).alias("text"),
+        )
+    )
+    spans = spans.join(
+        spans.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_total")),
+        "doc_id",
+    )
+    rows_dir = str(tmp_path / "rows")
+    # several files -> spans of one doc split across micro-batches
+    spans.repartition(6).write.parquet(rows_dir)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_cumulative_text(spark, rows_dir, out, ckpt)
+    assert q.awaitTermination(TIMEOUT_S)
+
+    got = spark.read.parquet(out)
+    # last emission per doc must be finished with the full ordered text
+    final = got.filter("document_finished")
+    want = (
+        spark.read.parquet(rows_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(offset, text))),"
+                " s -> s.text), '\\n')"
+            ).alias("cumulative_text"),
+            F.count("*").cast("int").alias("n_spans"),
+        )
+    )
+    g = {r.doc_id: (r.n_spans, r.cumulative_text) for r in final.collect()}
+    w = {r.doc_id: (r.n_spans, r.cumulative_text) for r in want.collect()}
+    assert g == w
+    # every doc finished exactly once
+    assert final.groupBy("doc_id").count().filter("count > 1").count() == 0
