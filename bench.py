@@ -29,11 +29,41 @@ HEADLINE_QUERIES = [
     "simhash",
     "dedup_exact",
     "ann_topk",
+    "ann_ivf",
     "cer_by_lang",
     "session_regroup",
     "lineitem_agg",
     "event_hourly",
+    "word_segmentation",
 ]
+
+
+def salt_balance(docs, salt_buckets: int = 64, nparts: int = 64) -> dict:
+    """Skew evidence: row counts per post-salt partition of the OCR stage's
+    input (the fixture plants a 1% media-heavy tail). max/mean near 1.0
+    means the expensive stage gets uniform tasks despite the skew."""
+    from pyspark.sql import functions as F
+
+    spans = docs.select("doc_id", F.explode("spans").alias("s")).filter(
+        F.col("s.kind") == "media"
+    )
+    salted = spans.withColumn(
+        "salt",
+        F.pmod(F.xxhash64("doc_id", "s.media_ref"), F.lit(salt_buckets)).cast("int"),
+    ).repartition(nparts, "salt", "doc_id")
+    counts = [
+        r.n
+        for r in salted.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    mean = sum(counts) / len(counts)
+    return {
+        "ocr_stage_partitions": len(counts),
+        "rows_mean": round(mean, 1),
+        "rows_max": max(counts),
+        "balance_max_over_mean": round(max(counts) / mean, 3),
+    }
 
 
 def _noop_write(df) -> None:
@@ -86,23 +116,49 @@ def main() -> None:
 
     docs = spark.read.parquet(os.path.join(fix_dir, "docs"))
     media = spark.read.parquet(os.path.join(fix_dir, "media"))
+    # SPARK_GRAFT_BENCH_MULT=k replicates the docs k-fold (distinct doc_ids,
+    # shared media payloads) so scaling runs measure compute, not fixed
+    # overhead — the N-vs-4N comparison needs a job where parallel work
+    # dominates the ~1s job-scheduling floor.
+    mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "1"))
+    if mult > 1:
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        docs = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                docs.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(k * 10_000_000)
+                )
+                for k in range(mult)
+            ],
+        )
     n_docs = docs.count()
     n_spans = docs.selectExpr("sum(size(spans))").first()[0]
 
     # warm-up: JVM + python workers + broadcast (small slice)
     _noop_write(extract_flat(docs.limit(50), media, broadcast_media=True))
 
-    t0 = time.monotonic()
-    _noop_write(extract_flat(docs, media, broadcast_media=True))
-    t_extract = time.monotonic() - t0
+    def timed(make_df, runs: int = 2) -> float:
+        """min over ``runs`` — the sandbox host is shared and single runs
+        vary several-fold under contention; min approximates the
+        machine-limited time."""
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.monotonic()
+            _noop_write(make_df())
+            best = min(best, time.monotonic() - t0)
+        return round(best, 3)
 
-    timings: dict[str, float] = {"extract_spans": round(t_extract, 3)}
+    t_extract = timed(lambda: extract_flat(docs, media, broadcast_media=True))
+
+    timings: dict[str, float] = {"extract_spans": t_extract}
     if not extraction_only:
         registry = query_registry()
         for name in HEADLINE_QUERIES:
-            t0 = time.monotonic()
-            _noop_write(registry[name](spark, sf_dir))
-            timings[name] = round(time.monotonic() - t0, 3)
+            timings[name] = timed(lambda n=name: registry[n](spark, sf_dir))
 
     result = {
         "metric": "end-to-end interleaved-document extraction wall time",
@@ -116,6 +172,7 @@ def main() -> None:
         "spans_per_sec": round(n_spans / t_extract, 2),
         "cpus": cpus,
         "fixture_build_sec": round(t_fixture, 3),
+        "skew": salt_balance(docs),
     }
     spark.stop()
     print(json.dumps(result))

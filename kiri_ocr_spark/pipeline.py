@@ -137,7 +137,10 @@ def extract_span_rows(
         "salt",
         F.pmod(F.xxhash64("doc_id", "media_ref"), F.lit(salt_buckets)).cast("int"),
     )
-    nparts = media_partitions or int(
+    # 2x the shuffle partitioning for the OCR stage: tasks are CPU-heavy
+    # (~2ms/image python kernel), so finer granularity smooths the last
+    # wave's stragglers; measured best at both 8 and 32 cores.
+    nparts = media_partitions or 2 * int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     if broadcast_media:
