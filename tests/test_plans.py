@@ -1,0 +1,106 @@
+"""Physical-plan quality gates (SURVEY §4.2/§4.3): the optimizations we
+rely on at 100 TB must actually appear in the executed plans — pushdown,
+whole-stage codegen, broadcast joins, and no accidental Python stages."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kiri_ocr_spark.fixtures import build_fixture
+from kiri_ocr_spark.pipeline import extract_flat
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def codegen_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    return buf.getvalue()
+
+
+def test_filter_and_projection_pushed_to_scan(spark, sf_tiny):
+    df = (
+        spark.read.parquet(f"{sf_tiny}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 25)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "GreaterThan(l_quantity" in plan
+    # column pruning: the scan reads only the two referenced columns
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_comment" not in read_schema
+
+
+def test_native_agg_gets_whole_stage_codegen(spark, sf_tiny):
+    df = (
+        spark.read.parquet(f"{sf_tiny}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
+    assert "WholeStageCodegen" in codegen_plan(df)
+    assert "Python" not in plan_of(df)
+
+
+def test_flagship_plan_broadcasts_media_and_routes_kinds(spark, sf_tiny):
+    docs, media = build_fixture(spark, sf_tiny)
+    plan = plan_of(extract_flat(docs, media, broadcast_media=True))
+    # the media payload rides a broadcast join, never a shuffled one
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly one Python stage: the fused detect+recognize kernel
+    assert plan.count("MapInPandas") + plan.count("mapInPandas") >= 1
+    # kind routing is a Catalyst filter, pre-kernel
+    assert "kind" in plan
+
+
+def test_media_bytes_projected_before_assembly(spark, sf_tiny):
+    """§4.3 binary hygiene: png_bytes must not appear above the OCR stage
+    (the assembly shuffle carries text rows only)."""
+    docs, media = build_fixture(spark, sf_tiny)
+    plan = plan_of(extract_flat(docs, media, broadcast_media=True))
+    # the exchange feeding the assembly agg must not carry the bytes col
+    exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning(doc_id" in line
+    ]
+    assert exchanges, "assembly shuffle missing from plan"
+    for line in exchanges:
+        assert "png_bytes" not in line
+
+
+def test_salting_column_present_in_media_path(spark, sf_tiny):
+    docs, media = build_fixture(spark, sf_tiny)
+    plan = plan_of(extract_flat(docs, media, broadcast_media=True))
+    assert "salt" in plan and "xxhash64" in plan
+
+
+def test_png_meta_query_stays_native(spark, sf_tiny):
+    from kiri_ocr_spark.operators.multimodal import with_png_meta
+
+    _, media = build_fixture(spark, sf_tiny)
+    plan = plan_of(with_png_meta(media).select("media_ref", "width", "height"))
+    # IHDR parsing happens after the render kernel; no ADDITIONAL python
+    assert plan.count("MapInPandas") == 1  # only the fixture renderer
+
+
+def test_partition_count_scales_with_shuffle_setting(spark, sf_tiny):
+    """OCR stage task count = 2x shuffle partitions (granularity contract
+    for the N-vs-4N scaling discipline)."""
+    docs, media = build_fixture(spark, sf_tiny)
+    from kiri_ocr_spark.pipeline import extract_span_rows
+
+    rows = extract_span_rows(docs, media, broadcast_media=True).filter(
+        "kind = 'media'"
+    )
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nparts = rows.rdd.getNumPartitions()
+    assert nparts == 2 * sp
