@@ -597,16 +597,26 @@ SELECT doc_id, CAST({combine} AS INT) AS simhash FROM b
 # --------------------------------------------------------------------------
 
 
+# BPE-ish pre-tokenization: alphabetic runs, single digits, single
+# punctuation marks — the GPT-2 pre-tokenizer's shape, minus lookaheads so
+# the SAME pattern runs in Spark (Java regex) and DuckDB (RE2).
+_BPE_RE = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select(
         "lang",
         F.expr(f"size(split({_SPARK_NORM}, ' '))").alias("n_tok"),
+        F.expr(
+            f"size(regexp_extract_all(lower({_SPARK_NORM}), '{_BPE_RE}', 0))"
+        ).alias("n_bpe"),
         F.expr(f"length({_SPARK_NORM})").alias("n_chars"),
     )
     return d.groupBy("lang").agg(
         F.count("*").alias("docs"),
         F.sum("n_tok").cast("long").alias("total_tokens"),
         F.round(F.avg(F.col("n_tok").cast("double")), 4).alias("avg_tokens"),
+        F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
 
@@ -614,12 +624,14 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKEN_STATS_SQL = f"""
 WITH d AS (
   SELECT lang, len(string_split({_DUCK_NORM}, ' ')) AS n_tok,
+         len(regexp_extract_all(lower({_DUCK_NORM}), '{_BPE_RE}')) AS n_bpe,
          len({_DUCK_NORM}) AS n_chars
   FROM documents
 )
 SELECT lang, count(*) AS docs,
        CAST(sum(n_tok) AS BIGINT) AS total_tokens,
        round(avg(n_tok::DOUBLE), 4) AS avg_tokens,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM d GROUP BY lang
 """
@@ -673,36 +685,60 @@ FROM d
 # --------------------------------------------------------------------------
 
 
+# character-n-gram language-ID heuristic: Khmer by script range (the
+# reference's own check, generator.py:91), then English-ish by the rate of
+# characteristic bigrams ('th','he','er') per character; deterministic and
+# expressible identically in both engines. (Corpus lang labels are
+# synthetic, so the query verifies the heuristic computation, not
+# linguistic accuracy.)
+_LANG_BIGRAMS = ("th", "he", "er")
+
+
 def q_lang_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hits = " + ".join(
+        f"size(regexp_extract_all(norm, '{b}', 0))" for b in _LANG_BIGRAMS
+    )
     d = _t(spark, sf_dir, "documents").select(
-        "lang", F.expr(f"split({_SPARK_NORM}, ' ')").alias("toks")
+        "lang", F.expr(f"lower({_SPARK_NORM})").alias("norm")
     )
     scored = d.select(
         "lang",
-        F.expr("size(filter(toks, t -> t = 'the'))").alias("s_en"),
-        F.expr("size(filter(toks, t -> t = 'a'))").alias("s_other"),
+        F.expr("norm rlike '[\\\\u1780-\\\\u17FF]'").alias("is_khmer"),
+        F.expr(f"({hits}) / greatest(length(norm), 1)").alias("rate"),
     )
     pred = (
-        F.when(F.col("s_en") >= F.col("s_other"), "en").otherwise("other")
+        F.when(F.col("is_khmer"), "km")
+        .when(F.col("rate") >= 0.02, "en")
+        .otherwise("other")
     )
     return scored.select("lang", pred.alias("pred")).groupBy("lang", "pred").agg(
         F.count("*").alias("n")
     )
 
 
-_LANG_PRED_SQL = f"""
+def _lang_pred_sql() -> str:
+    hits = " + ".join(
+        f"len(regexp_extract_all(norm, '{b}'))" for b in _LANG_BIGRAMS
+    )
+    return f"""
 WITH d AS (
-  SELECT lang, string_split({_DUCK_NORM}, ' ') AS toks FROM documents
+  SELECT lang, lower({_DUCK_NORM}) AS norm FROM documents
 ), s AS (
   SELECT lang,
-         len(list_filter(toks, t -> t = 'the')) AS s_en,
-         len(list_filter(toks, t -> t = 'a')) AS s_other
+         regexp_matches(norm, '[{chr(0x1780)}-{chr(0x17FF)}]') AS is_khmer,
+         ({hits})::DOUBLE / greatest(len(norm), 1) AS rate
   FROM d
 )
-SELECT lang, CASE WHEN s_en >= s_other THEN 'en' ELSE 'other' END AS pred,
+SELECT lang,
+       CASE WHEN is_khmer THEN 'km'
+            WHEN rate >= 0.02 THEN 'en'
+            ELSE 'other' END AS pred,
        count(*) AS n
 FROM s GROUP BY 1, 2
 """
+
+
+_LANG_PRED_SQL = _lang_pred_sql()
 
 
 # --------------------------------------------------------------------------
