@@ -1100,6 +1100,91 @@ SELECT dup_count, count(*) AS n_groups FROM groups GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# 23a1. Golden-vs-actual CER over the REAL pipeline (J8 + A12 + F5/F6 on
+#       actual OCR output): run the full extraction, join each span to its
+#       construction-expected text, aggregate CER / exact-match. The
+#       reference's own benchmark loop re-expressed as one equi-join + agg
+#       (/root/reference/benchmark/run_benchmark.py:93-148).
+# --------------------------------------------------------------------------
+
+
+def _expected_flat_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The construction-expected flat spans, computed in Spark from the
+    same spec fixtures.py renders (text spans normalized, media spans'
+    known render text), ordered by offset."""
+    from .fixtures import _spark_tok, with_token_columns
+
+    base = with_token_columns(_t(spark, sf_dir, "documents"))
+    t_expr = " , ' ', ".join(_spark_tok("t*5", i) for i in range(5))
+    text_rows = base.select(
+        "doc_id",
+        F.explode(F.expr("sequence(0, n_text - 1)")).alias("t"),
+        "toks",
+        "nt",
+    ).select(
+        "doc_id",
+        F.expr("cast(2*t as int)").alias("off"),
+        F.expr(f"concat({t_expr})").alias("exp_text"),
+    )
+    m_expr = f"""case when m % 2 = 1
+        then concat({_spark_tok('m*3', 0)}, ' ', {_spark_tok('m*3', 1)},
+                    '\\n', {_spark_tok('m*3', 2)})
+        else concat({_spark_tok('m*3', 0)}, ' ', {_spark_tok('m*3', 1)},
+                    ' ', {_spark_tok('m*3', 2)}) end"""
+    media_rows = (
+        base.filter(F.col("n_media") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.expr("sequence(0, n_media - 1)")).alias("m"),
+            "toks",
+            "nt",
+        )
+        .select(
+            "doc_id",
+            F.expr("cast(2*m + 1 as int)").alias("off"),
+            F.expr(m_expr).alias("exp_text"),
+        )
+    )
+    u = text_rows.unionByName(media_rows)
+    w = Window.partitionBy("doc_id").orderBy("off")
+    return u.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("int").alias("ord"),
+        "exp_text",
+    )
+
+
+def q_extract_cer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    actual = q_extract_spans(spark, sf_dir)
+    expected = _expected_flat_spark(spark, sf_dir)
+    joined = actual.join(expected, ["doc_id", "ord"])
+    scored = joined.select(
+        cer(F.col("exp_text"), F.col("text")).alias("c"),
+        (F.col("exp_text") == F.col("text")).cast("int").alias("exact"),
+    )
+    return scored.agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum("exact").cast("long").alias("n_exact"),
+        F.round(F.avg("c"), 6).alias("avg_cer"),
+    )
+
+
+# by construction the pipeline is exact: every span matches, CER 0
+_EXTRACT_CER_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         1 + doc_id % 4 AS n_text,
+         doc_id % 3 + CASE WHEN doc_id % 97 = 0 THEN 16 ELSE 0 END AS n_media
+  FROM documents
+)
+SELECT CAST(sum(n_text + n_media) AS BIGINT) AS n_spans,
+       CAST(sum(n_text + n_media) AS BIGINT) AS n_exact,
+       0.0 AS avg_cer
+FROM d
+"""
+
+
+# --------------------------------------------------------------------------
 # 23a2. Word segmentation (W5 family): per detected line, split words at
 #       blank-column gaps >= the space threshold and count them. The oracle
 #       knows each rendered line's word count by construction (even media
@@ -1345,6 +1430,7 @@ def query_registry() -> dict[str, QueryFn]:
         "near_dup_cosine": q_near_dup_cosine,
         "media_meta": q_media_meta,
         "image_dhash_dups": q_image_dhash_dups,
+        "extract_cer": q_extract_cer,
         "word_segmentation": q_word_segmentation,
         "finder_candidates": q_finder_candidates,
         "model_decode": q_model_decode,
@@ -1378,6 +1464,7 @@ def oracle_registry() -> dict[str, str]:
         "near_dup_cosine": _NEAR_DUP_SQL.strip(),
         "media_meta": _MEDIA_META_SQL.strip(),
         "image_dhash_dups": _DHASH_DUPS_SQL.strip(),
+        "extract_cer": _EXTRACT_CER_SQL.strip(),
         "word_segmentation": _WORD_SEG_SQL.strip(),
         "event_hourly": _EVENT_HOURLY_SQL.strip(),
     }
