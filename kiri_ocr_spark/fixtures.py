@@ -139,10 +139,55 @@ def build_media(flat_docs: DataFrame) -> DataFrame:
     return specs.mapInPandas(_render_batches, schema=MEDIA_SCHEMA)
 
 
-def build_fixture(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """(documents_spans, media) from a testdata scale-factor directory."""
+def build_fixture(
+    spark: SparkSession, sf_dir: str, cache: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """(documents_spans, media) from a testdata scale-factor directory.
+
+    Rendering ~5k PNGs costs ~10s at sf0.1, and a dozen registry queries
+    each need the fixture — so by default the rendered tables are parked
+    as parquet under /tmp once per (sf_dir, spec) and re-read thereafter.
+    The cache key includes the renderer's layout constants, so changing
+    the spec invalidates it."""
     flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return build_documents(flat), build_media(flat)
+    if not cache:
+        return build_documents(flat), build_media(flat)
+
+    import hashlib
+    import os
+    import tempfile
+
+    from .imaging import glyphs
+
+    spec = (
+        f"v2|{glyphs.GLYPH_W}|{glyphs.GLYPH_H}|{glyphs.CHAR_GAP}|"
+        f"{glyphs.SPACE_GAP}|{glyphs.LINE_GAP}|{glyphs.PAD_X}|{glyphs.PAD_Y}|"
+        f"{glyphs.SCALE}|{sf_dir}"
+    )
+    key = hashlib.sha256(spec.encode()).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), f"kiri_fixture_cache_{key}")
+    docs_dir, media_dir = os.path.join(base, "docs"), os.path.join(base, "media")
+    done = os.path.join(base, "_COMPLETE")
+    if not os.path.exists(done):
+        import shutil
+
+        tmp = base + f".tmp{os.getpid()}"
+        build_documents(flat).write.mode("overwrite").parquet(
+            os.path.join(tmp, "docs")
+        )
+        build_media(flat).write.mode("overwrite").parquet(
+            os.path.join(tmp, "media")
+        )
+        open(os.path.join(tmp, "_COMPLETE"), "w").close()
+        try:
+            os.rename(tmp, base)  # atomic publish
+        except OSError:
+            if os.path.exists(done):  # another process won the race
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:  # stale partial dir from a crashed build: replace it
+                shutil.rmtree(base, ignore_errors=True)
+                os.rename(tmp, base)
+    return spark.read.parquet(docs_dir), spark.read.parquet(media_dir)
 
 
 def expected_sql(documents_table: str = "documents") -> str:
