@@ -545,6 +545,86 @@ FROM kept x JOIN kept y
 
 
 # --------------------------------------------------------------------------
+# 13b. Near-dup CLUSTERS: connected components over the LSH pair graph by
+#      iterative min-label propagation — the production dedup step after
+#      candidate generation (keep one doc per component). Distributed CC:
+#      each iteration is one join + min-agg; lineage cut with localCheckpoint
+#      so the plan doesn't grow with iterations. Oracle: DuckDB recursive
+#      CTE computing the same min-reachable-id labels. Output is the
+#      cluster-size histogram (stable, tiny).
+#      Scale note: plain min-label propagation needs O(diameter) rounds
+#      (28s at sf0.1 where the capped LSH graph still has a 5.5k-node hub
+#      component); at 10^12 docs swap the loop body for the alternating
+#      large-star/small-star contraction (Kiveris et al., "Connected
+#      Components in MapReduce and Beyond") which converges in O(log n)
+#      rounds with the same min-id labels — the loop scaffolding
+#      (join + min-agg + localCheckpoint + convergence count) is identical.
+# --------------------------------------------------------------------------
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_minhash_pairs(spark, sf_dir)
+    nodes = (
+        pairs.select(F.col("a").alias("node"))
+        .unionByName(pairs.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint()
+    while True:
+        msgs = edges.join(labels, edges.a == labels.node).select(
+            F.col("b").alias("node"), "lbl"
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(F.col("cluster_size").cast("long").alias("cluster_size"),
+                "n_clusters")
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_minhash_sql().strip().rstrip()}
+), edges AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS node FROM edges
+), reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+), labels AS (
+  SELECT node, min(lbl) AS lbl FROM reach GROUP BY node
+), sizes AS (
+  SELECT lbl, count(*) AS cluster_size FROM labels GROUP BY lbl
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size
+"""
+
+
+# --------------------------------------------------------------------------
 # 14. SimHash document signatures (16-bit, md5-derived, portable)
 # --------------------------------------------------------------------------
 
@@ -1419,6 +1499,7 @@ def query_registry() -> dict[str, QueryFn]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -1453,6 +1534,7 @@ def oracle_registry() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL.strip(),
         "ngram_jaccard": _JACCARD_SQL.strip(),
         "minhash_pairs": _minhash_sql().strip(),
+        "dedup_clusters": _dedup_clusters_sql().strip(),
         "simhash": _simhash_sql().strip(),
         "token_stats": _TOKEN_STATS_SQL.strip(),
         "quality_score": _quality_sql().strip(),
