@@ -625,6 +625,66 @@ FROM sizes GROUP BY cluster_size
 
 
 # --------------------------------------------------------------------------
+# 13c. Verified near-dup pairs: exact Jaccard over the LSH candidates —
+#      the verification stage real dedup pipelines run between candidate
+#      generation and clustering (LSH buckets admit false positives;
+#      shingle-set Jaccard kills them). The join re-derives each side's
+#      shingle set only for candidate pairs, never all-pairs.
+# --------------------------------------------------------------------------
+
+_JACCARD_THRESHOLD = 0.5
+
+
+def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_minhash_pairs(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SPARK_NORM).alias("norm")
+    )
+    near = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(norm, 11)").alias("norm"),
+    )
+    corpus = d.unionByName(near).select(
+        "doc_id", F.expr(_SPARK_SHINGLES4).alias("sh")
+    )
+    a = corpus.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    b = corpus.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "a").join(b, "b")
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+        6,
+    )
+    return (
+        joined.select("a", "b", jac.alias("jac"))
+        .filter(F.col("jac") >= _JACCARD_THRESHOLD)
+        .select("a", "b", "jac")
+    )
+
+
+def _minhash_verified_sql() -> str:
+    return f"""
+WITH pairs AS (
+  {_minhash_sql().strip()}
+), corpus AS (
+  SELECT doc_id, {_DUCK_NORM} AS norm FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, substr({_DUCK_NORM}, 11) AS norm
+  FROM documents WHERE doc_id % 5 = 0
+), sh AS (
+  SELECT doc_id, {_DUCK_SHINGLES4} AS sh
+  FROM corpus
+), scored AS (
+  SELECT p.a, p.b,
+         round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+               len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jac
+  FROM pairs p JOIN sh x ON x.doc_id = p.a JOIN sh y ON y.doc_id = p.b
+)
+SELECT a, b, jac FROM scored WHERE jac >= {_JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
 # 14. SimHash document signatures (16-bit, md5-derived, portable)
 # --------------------------------------------------------------------------
 
@@ -1499,6 +1559,7 @@ def query_registry() -> dict[str, QueryFn]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_verified": q_minhash_verified,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "token_stats": q_token_stats,
@@ -1534,6 +1595,7 @@ def oracle_registry() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL.strip(),
         "ngram_jaccard": _JACCARD_SQL.strip(),
         "minhash_pairs": _minhash_sql().strip(),
+        "minhash_verified": _minhash_verified_sql().strip(),
         "dedup_clusters": _dedup_clusters_sql().strip(),
         "simhash": _simhash_sql().strip(),
         "token_stats": _TOKEN_STATS_SQL.strip(),

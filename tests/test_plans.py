@@ -88,8 +88,9 @@ def test_png_meta_query_stays_native(spark, sf_tiny):
 
     _, media = build_fixture(spark, sf_tiny)
     plan = plan_of(with_png_meta(media).select("media_ref", "width", "height"))
-    # IHDR parsing happens after the render kernel; no ADDITIONAL python
-    assert plan.count("MapInPandas") == 1  # only the fixture renderer
+    # IHDR parsing adds no Python: at most the fixture renderer appears
+    # (zero when the fixture cache serves pre-rendered parquet)
+    assert plan.count("MapInPandas") <= 1
 
 
 def test_partition_count_scales_with_shuffle_setting(spark, sf_tiny):
