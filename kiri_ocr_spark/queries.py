@@ -563,7 +563,17 @@ FROM kept x JOIN kept y
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q_minhash_pairs(spark, sf_dir)
+    return _cluster_pairs(q_minhash_pairs(spark, sf_dir))
+
+
+def q_dedup_clusters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full production pipeline: LSH candidates -> exact-Jaccard verify ->
+    connected components. Verified edges eliminate the giant
+    false-positive hub component the raw LSH graph carries."""
+    return _cluster_pairs(q_minhash_verified(spark, sf_dir).select("a", "b"))
+
+
+def _cluster_pairs(pairs: DataFrame) -> DataFrame:
     nodes = (
         pairs.select(F.col("a").alias("node"))
         .unionByName(pairs.select(F.col("b").alias("node")))
@@ -601,10 +611,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_clusters_sql() -> str:
+def _dedup_clusters_sql(pairs_sql: str | None = None) -> str:
     return f"""
 WITH RECURSIVE pairs AS (
-  {_minhash_sql().strip().rstrip()}
+  {(pairs_sql or _minhash_sql()).strip().rstrip()}
 ), edges AS (
   SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
 ), nodes AS (
@@ -1561,6 +1571,7 @@ def query_registry() -> dict[str, QueryFn]:
         "minhash_pairs": q_minhash_pairs,
         "minhash_verified": q_minhash_verified,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_verified": q_dedup_clusters_verified,
         "simhash": q_simhash,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -1597,6 +1608,9 @@ def oracle_registry() -> dict[str, str]:
         "minhash_pairs": _minhash_sql().strip(),
         "minhash_verified": _minhash_verified_sql().strip(),
         "dedup_clusters": _dedup_clusters_sql().strip(),
+        "dedup_clusters_verified": _dedup_clusters_sql(
+            "SELECT a, b FROM (" + _minhash_verified_sql() + ") v"
+        ).strip(),
         "simhash": _simhash_sql().strip(),
         "token_stats": _TOKEN_STATS_SQL.strip(),
         "quality_score": _quality_sql().strip(),
