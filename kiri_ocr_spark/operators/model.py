@@ -34,7 +34,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .recognize import ctc_collapse
+from .recognize import ctc_collapse, ctc_forward_score
 
 
 @dataclass
@@ -51,6 +51,13 @@ class CFG:
     LEN_NORM_POW: float = 0.8
     UNK_PENALTY: float = -10.0
     REPEAT_PENALTY: float = -1.0
+    # fusion knobs (model.py:390-600): CTC_FUSION weights the CTC-forward
+    # alignment score of each hypothesis prefix into the beam score; the
+    # reference's defaults are 0.5 CTC / 0.35 LM — ours default OFF to
+    # match the 'fast' benchmark configuration (run_benchmark.py:51) and
+    # because the per-prefix forward DP is the slow path
+    CTC_FUSION_ALPHA: float = 0.0
+    EOS_BIAS: float = 0.0
     CTC_LEN_CAP_MULT: float = 1.3
     CTC_LEN_CAP_ADD: int = 10
     SEED: int = 0x4B495249  # 'KIRI'
@@ -319,20 +326,36 @@ class NumpyKiriModel:
         max_len = self._len_cap(len(ctc_text))
         bos, eos = self.tok.DEC_BOS, self.tok.DEC_EOS
         unk_dec = self.tok.unk_id + 3
-        beams: list[tuple[list[int], float, bool]] = [([bos], 0.0, False)]
+        ctc_logp = None
+        if cfg.CTC_FUSION_ALPHA > 0.0:
+            ctc_logp = log_softmax(self.ctc_logits(mem))[0]
+
+        def ctc_score(seq: list[int]) -> float:
+            """CTC-forward alignment of the decoder prefix (dec ids ->
+            ctc ids: dec d>=3 maps to raw d-3 maps to ctc d-1)."""
+            target = np.array([d - 1 for d in seq[1:] if d >= 3])
+            s = ctc_forward_score(ctc_logp, target)
+            return s if np.isfinite(s) else -1e4
+
+        # (seq, fused_score, decoder_only_logp, done) — confidence must
+        # come from decoder log-probs alone (A10), never fusion bonuses
+        beams: list[tuple[list[int], float, float, bool]] = [
+            ([bos], 0.0, 0.0, False)
+        ]
         for _ in range(max_len):
-            if all(done for _, _, done in beams):
+            if all(done for *_, done in beams):
                 break  # early exit (model.py:444-445)
-            alive = [b for b in beams if not b[2]]
+            alive = [b for b in beams if not b[3]]
             ids = np.array([b[0] for b in alive], dtype=np.int64)
             logits = self._decode_step(ids, np.repeat(mem, len(alive), axis=0))
             logp = log_softmax(logits[:, -1])
-            cand: list[tuple[list[int], float, bool]] = [
-                b for b in beams if b[2]
+            cand: list[tuple[list[int], float, float, bool]] = [
+                b for b in beams if b[3]
             ]
-            for (seq, score, _), row in zip(alive, logp):
+            for (seq, score, dlp, _), row in zip(alive, logp):
                 row = row.copy()
                 row[unk_dec] += cfg.UNK_PENALTY
+                row[eos] += cfg.EOS_BIAS
                 # uni/bi-gram repeat penalties (model.py:506-535 family)
                 if len(seq) >= 1:
                     row[seq[-1]] += cfg.REPEAT_PENALTY
@@ -342,23 +365,29 @@ class NumpyKiriModel:
                             row[seq[j + 1]] += cfg.REPEAT_PENALTY / 2.0
                 top = np.argsort(-row, kind="stable")[:beam]
                 for t in top:
+                    new_seq = seq + [int(t)]
+                    new_score = score + float(row[t])
+                    if ctc_logp is not None and int(t) != eos:
+                        new_score += cfg.CTC_FUSION_ALPHA * (
+                            ctc_score(new_seq) - ctc_score(seq)
+                        )
                     cand.append(
-                        (seq + [int(t)], score + float(row[t]), int(t) == eos)
+                        (new_seq, new_score, dlp + float(row[t]), int(t) == eos)
                     )
 
-            def norm(item: tuple[list[int], float, bool]) -> float:
+            def norm(item: tuple[list[int], float, float, bool]) -> float:
                 L = max(len(item[0]) - 1, 1)
                 return item[1] / ((5 + L) ** cfg.LEN_NORM_POW / 6**cfg.LEN_NORM_POW)
 
             cand.sort(key=lambda it: (-norm(it), len(it[0])))
             beams = cand[:beam]
-        def final_norm(item: tuple[list[int], float, bool]) -> float:
+        def final_norm(item: tuple[list[int], float, float, bool]) -> float:
             L = max(len(item[0]) - 1, 1)
             return item[1] / ((5 + L) ** cfg.LEN_NORM_POW / 6**cfg.LEN_NORM_POW)
 
         best = max(beams, key=final_norm)
         seq = np.array(best[0][1:], dtype=np.int64)
-        conf = float(np.clip(np.exp(best[1] / max(len(seq), 1)), 0.0, 1.0))
+        conf = float(np.clip(np.exp(best[2] / max(len(seq), 1)), 0.0, 1.0))
         return self.tok.decode_dec(seq), conf
 
     def greedy_decode(self, mem_row: np.ndarray) -> tuple[str, float]:

@@ -137,3 +137,30 @@ def test_resize_keep_ratio_pad_contract():
     wide = np.zeros((48, 1400), dtype=np.uint8)
     out2 = resize_keep_ratio_pad(wide)
     assert out2.shape == (48, 640) and (out2 == 0).all()
+
+
+def test_beam_ctc_fusion_and_eos_bias():
+    """M4 fusion knobs: CTC fusion changes beam scoring deterministically;
+    a strong EOS bias shortens output; alpha=0 reproduces the unfused path."""
+    rng = np.random.get_state  # noqa: F841 (doc: no global rng used)
+    img = np.full((48, 640), 90, dtype=np.uint8)
+
+    base_model = get_model(CFG())
+    mem = base_model.encode(img[None])[0]
+    unfused = base_model.beam_decode(mem)
+
+    fused_cfg = CFG(CTC_FUSION_ALPHA=0.5)
+    fused_cfg.SEED = CFG().SEED  # same weights, different decode config
+    fused_model = NumpyKiriModel(fused_cfg)
+    fused_a = fused_model.beam_decode(mem)
+    fused_b = fused_model.beam_decode(mem)
+    assert fused_a == fused_b  # deterministic
+
+    # alpha=0 model equals the unfused singleton's result
+    zero_model = NumpyKiriModel(CFG())
+    assert zero_model.beam_decode(mem) == unfused
+
+    eos_cfg = CFG(EOS_BIAS=6.0)
+    eos_model = NumpyKiriModel(eos_cfg)
+    short_text, _ = eos_model.beam_decode(mem)
+    assert len(short_text) <= len(unfused[0])
