@@ -294,6 +294,54 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 
 # --------------------------------------------------------------------------
+# 9b. Multi-join star query (TPC-H Q5 shape): lineitem ⋈ orders ⋈ customer
+#     ⋈ nation ⋈ region with tiny dims — Catalyst broadcast-joins the dim
+#     chain and reorders freely; revenue per nation for one region/year.
+# --------------------------------------------------------------------------
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(na, cu.c_nationkey == na.n_nationkey)
+        .join(re, na.n_regionkey == re.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_REVENUE_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
 # 10. Top-k per group (A2/T5 idiom)
 # --------------------------------------------------------------------------
 
@@ -1565,6 +1613,7 @@ def query_registry() -> dict[str, QueryFn]:
         "cer_by_lang": q_cer_by_lang,
         "confidence_tiers": q_confidence_tiers,
         "lineitem_agg": q_lineitem_agg,
+        "revenue_by_nation": q_revenue_by_nation,
         "topk_per_group": q_topk_per_group,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1602,6 +1651,7 @@ def oracle_registry() -> dict[str, str]:
         "cer_by_lang": _CER_SQL.strip(),
         "confidence_tiers": _TIERS_SQL.strip(),
         "lineitem_agg": _LINEITEM_AGG_SQL.strip(),
+        "revenue_by_nation": _REVENUE_SQL.strip(),
         "topk_per_group": _TOPK_SQL.strip(),
         "dedup_exact": _DEDUP_EXACT_SQL.strip(),
         "ngram_jaccard": _JACCARD_SQL.strip(),

@@ -147,3 +147,19 @@ def test_assembly_union_preserves_counts(spark, sf_tiny):
     assembled = assemble_documents(rows)
     total = assembled.select(F.sum(F.size("spans"))).first()[0]
     assert total == n_input
+
+
+def test_shuffle_join_media_path_matches_broadcast(spark, sf_tiny):
+    """The large-media-store path (shuffle equi-join on media_ref + salted
+    row-count repartition) must produce byte-identical output to the
+    broadcast path."""
+    from kiri_ocr_spark.fixtures import build_fixture
+    from kiri_ocr_spark.pipeline import extract_flat
+
+    docs, media = build_fixture(spark, sf_tiny)
+    cols = ["doc_id", "ord", "kind", "text", "media_ref"]
+    bc = sorted(map(tuple, extract_flat(docs, media, broadcast_media=True)
+                    .select(cols).collect()))
+    sj = sorted(map(tuple, extract_flat(docs, media, broadcast_media=False)
+                    .select(cols).collect()))
+    assert bc == sj
