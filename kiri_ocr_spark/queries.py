@@ -622,6 +622,10 @@ def q_dedup_clusters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cluster_pairs(pairs: DataFrame) -> DataFrame:
+    # the pairs pipeline (LSH + optional verification join) is expensive
+    # and referenced three times below (nodes + both edge directions):
+    # materialize it once
+    pairs = pairs.localCheckpoint()
     nodes = (
         pairs.select(F.col("a").alias("node"))
         .unionByName(pairs.select(F.col("b").alias("node")))
