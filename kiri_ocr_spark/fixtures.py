@@ -113,7 +113,14 @@ def _render_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def build_media(flat_docs: DataFrame) -> DataFrame:
-    """Render every media span's payload -> media(media_ref, png_bytes, w, h)."""
+    """Render every media span's payload -> media(media_ref, png_bytes, w, h).
+
+    The specs are repartitioned before the render kernel: the source
+    documents parquet is a single file, and inheriting its 1-partition
+    scan would serialize rendering AND every downstream mapInPandas over
+    the media table (the cache writes one file per partition)."""
+    spark = flat_docs.sparkSession
+    nparts = 2 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     base = with_token_columns(flat_docs)
     specs = (
         base.filter(F.col("n_media") > 0)
@@ -136,7 +143,9 @@ def build_media(flat_docs: DataFrame) -> DataFrame:
             F.expr("m % 3 = 2").alias("invert"),
         )
     )
-    return specs.mapInPandas(_render_batches, schema=MEDIA_SCHEMA)
+    return specs.repartition(nparts, "media_ref").mapInPandas(
+        _render_batches, schema=MEDIA_SCHEMA
+    )
 
 
 def build_fixture(
