@@ -75,8 +75,15 @@ def _ocr_batches(broadcast):
             t0 = time.monotonic()
             texts, confs, nlines = [], [], []
             for blob in pdf["png_bytes"]:
-                gray = decode_gray(bytes(blob))
-                text, conf, n = extract_page_text(gray)
+                # quarantine, don't crash: one corrupt payload among 10^12
+                # docs must not fail the task (and with it the wave).
+                # Marker: text NULL, conf 0, n_lines -1 — downstream can
+                # route `n_lines = -1` rows to a dead-letter table.
+                try:
+                    gray = decode_gray(bytes(blob))
+                    text, conf, n = extract_page_text(gray)
+                except (ValueError, KeyError, IndexError):
+                    text, conf, n = None, 0.0, -1
                 texts.append(text)
                 confs.append(conf)
                 nlines.append(n)

@@ -163,3 +163,29 @@ def test_shuffle_join_media_path_matches_broadcast(spark, sf_tiny):
     sj = sorted(map(tuple, extract_flat(docs, media, broadcast_media=False)
                     .select(cols).collect()))
     assert bc == sj
+
+
+def test_corrupt_media_is_quarantined_not_fatal(spark, sf_tiny):
+    """A corrupt payload among millions must not fail the task: the span
+    is emitted with text NULL / conf 0 / n_lines -1 (dead-letter marker)
+    and every healthy row is unaffected."""
+    from pyspark.sql import functions as F
+
+    from kiri_ocr_spark.fixtures import build_fixture
+    from kiri_ocr_spark.pipeline import extract_span_rows
+
+    docs, media = build_fixture(spark, sf_tiny)
+    corrupted = media.withColumn(
+        "png_bytes",
+        F.when(
+            F.col("media_ref") == "img_0_0", F.lit(b"not a png at all")
+        ).otherwise(F.col("png_bytes")),
+    )
+    rows = extract_span_rows(docs, corrupted, broadcast_media=True)
+    bad = rows.filter(F.col("n_lines") == -1).collect()
+    assert len(bad) == 1 and bad[0].media_ref == "img_0_0"
+    assert bad[0].text is None and bad[0].conf == 0.0
+    # healthy rows unchanged in count
+    total = rows.count()
+    clean_total = extract_span_rows(docs, media, broadcast_media=True).count()
+    assert total == clean_total
