@@ -112,7 +112,7 @@ def run_level(cpus: int, sf_dir: str, fixture_dir: str) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_FIXTURE_DIR"] = fixture_dir
-    env.setdefault("SPARK_GRAFT_BENCH_MULT", "10")
+    env.setdefault("SPARK_GRAFT_BENCH_MULT", str(25))
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--extraction-only"],
         capture_output=True,
@@ -126,7 +126,7 @@ def run_level(cpus: int, sf_dir: str, fixture_dir: str) -> dict:
 
 def main() -> None:
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
-    mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "10"))
+    mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "25"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_label = os.path.basename(sf_dir.rstrip("/"))
     fixture_dir = os.environ.get(
