@@ -57,9 +57,13 @@ def salt_balance(docs, salt_buckets: int = 64, nparts: int = 64) -> dict:
         .agg(F.count("*").alias("n"))
         .collect()
     ]
-    mean = sum(counts) / len(counts)
+    # mean over the REQUESTED partition count: groupBy(partition_id) only
+    # returns non-empty partitions, and an empty partition is exactly the
+    # skew signal this metric exists to expose.
+    mean = sum(counts) / nparts
     return {
-        "ocr_stage_partitions": len(counts),
+        "ocr_stage_partitions": nparts,
+        "nonempty_partitions": len(counts),
         "rows_mean": round(mean, 1),
         "rows_max": max(counts),
         "balance_max_over_mean": round(max(counts) / mean, 3),

@@ -65,10 +65,19 @@ def _ocr_batches(broadcast):
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # warm the executor singleton before the first batch
+        import struct
+        import zlib
+
         import numpy as np  # noqa: F401
 
         from .imaging.png import decode_gray
         from .operators.recognize import extract_page_text
+
+        # every failure mode of a corrupt-but-magic-valid payload:
+        # bad magic / missing IHDR (ValueError), truncated chunk header
+        # (struct.error), corrupt/truncated IDAT (zlib.error), malformed
+        # scanline geometry (IndexError/KeyError on reshape/filter type)
+        _QUARANTINE = (ValueError, KeyError, IndexError, struct.error, zlib.error)
 
         _get_template_index(broadcast)
         for pdf in batches:
@@ -82,7 +91,7 @@ def _ocr_batches(broadcast):
                 try:
                     gray = decode_gray(bytes(blob))
                     text, conf, n = extract_page_text(gray)
-                except (ValueError, KeyError, IndexError):
+                except _QUARANTINE:
                     text, conf, n = None, 0.0, -1
                 texts.append(text)
                 confs.append(conf)

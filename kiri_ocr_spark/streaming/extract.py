@@ -11,8 +11,11 @@ analogue is:
   micro-batch holds whole documents (file-granular source), so the
   groupBy(doc_id) assembly is complete within a batch — the analogue of
   the reference's ``document_finished`` flag is batch completion.
-  Exactly-once at the sink comes from the checkpointLocation +
-  idempotent batch-id-suffixed parquet append.
+  Exactly-once at the sink comes from the checkpointLocation + an
+  IDEMPOTENT batch write: each micro-batch lands in its own
+  ``batch_id=N`` partition via dynamic partition overwrite, so a batch
+  replayed after a crash-between-write-and-commit overwrites its own
+  partition instead of appending duplicates.
 
 - ``stream_event_windows``: watermark + tumbling event-time window over
   the ``events`` table — the late-data semantics the reference lacks
@@ -35,6 +38,21 @@ DOCS_SCHEMA = (
     "doc_id long, spans array<struct<kind:string,text:string,"
     "media_ref:string,offset:int>>"
 )
+
+
+def _write_batch_idempotent(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
+    """foreachBatch sink with replay idempotence: a micro-batch that dies
+    after writing but before the streaming checkpoint commits is replayed
+    by Structured Streaming with the SAME batch_id — dynamic partition
+    overwrite on ``batch_id=N`` makes the retry replace its own partition,
+    never duplicate it (plain mode('append') is at-least-once)."""
+    (
+        batch_df.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
 
 
 def stream_extract(
@@ -61,9 +79,7 @@ def stream_extract(
         if batch_df.isEmpty():
             return
         flat = extract_flat(batch_df, media, **extract_kwargs)
-        flat.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            out_dir
-        )
+        _write_batch_idempotent(flat, batch_id, out_dir)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
@@ -152,9 +168,7 @@ def stream_cumulative_text(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(out_dir)
+        _write_batch_idempotent(batch_df, batch_id, out_dir)
 
     writer = (
         folded.writeStream.outputMode("update")

@@ -189,3 +189,27 @@ def test_corrupt_media_is_quarantined_not_fatal(spark, sf_tiny):
     total = rows.count()
     clean_total = extract_span_rows(docs, media, broadcast_media=True).count()
     assert total == clean_total
+
+
+def test_truncated_idat_is_quarantined_not_fatal(spark, sf_tiny):
+    """Valid PNG magic + valid IHDR but a corrupt body (truncated IDAT /
+    chunk header) raises zlib.error or struct.error inside the codec —
+    these must hit the quarantine path too, not crash the task."""
+    from pyspark.sql import functions as F
+
+    from kiri_ocr_spark.fixtures import build_fixture
+    from kiri_ocr_spark.pipeline import extract_span_rows
+
+    docs, media = build_fixture(spark, sf_tiny)
+    # keep the magic + IHDR (first 33 bytes + chunk framing), cut mid-IDAT
+    corrupted = media.withColumn(
+        "png_bytes",
+        F.when(
+            F.col("media_ref") == "img_0_0",
+            F.expr("substring(png_bytes, 1, 60)"),
+        ).otherwise(F.col("png_bytes")),
+    )
+    rows = extract_span_rows(docs, corrupted, broadcast_media=True)
+    bad = rows.filter(F.col("n_lines") == -1).collect()
+    assert len(bad) == 1 and bad[0].media_ref == "img_0_0"
+    assert bad[0].text is None and bad[0].conf == 0.0

@@ -67,6 +67,26 @@ def test_stream_extract_resume_is_exactly_once(spark, fixture_dirs, tmp_path):
     assert spark.read.parquet(out).count() == n1
 
 
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """A micro-batch replayed after a crash between sink-write and
+    checkpoint-commit re-runs foreachBatch with the SAME batch_id; the
+    dynamic-partition-overwrite sink must replace its own partition, not
+    append duplicates — and leave other batches' partitions untouched."""
+    from kiri_ocr_spark.streaming.extract import _write_batch_idempotent
+
+    out = str(tmp_path / "out")
+    df0 = spark.range(10).withColumnRenamed("id", "v")
+    df1 = spark.range(100, 105).withColumnRenamed("id", "v")
+    _write_batch_idempotent(df0, 0, out)
+    _write_batch_idempotent(df1, 1, out)
+    # replay batch 1 (same rows, same batch_id) — simulated crash retry
+    _write_batch_idempotent(df1, 1, out)
+    got = spark.read.parquet(out)
+    assert got.count() == 15
+    assert got.filter("batch_id = 1").count() == 5
+    assert got.filter("batch_id = 0").count() == 10
+
+
 def test_event_windows_match_batch(spark, sf_tiny, tmp_path):
     # the file stream source needs a directory, not a bare parquet file
     events_path = str(tmp_path / "events_dir")
