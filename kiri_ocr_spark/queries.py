@@ -492,19 +492,38 @@ _DUCK_SHINGLE_HASHES = (
 )
 
 
+# one shingled+hashed corpus per (application, sf_dir): minhash_pairs,
+# minhash_verified and both clustering variants all consume the same
+# localCheckpointed (doc_id, sh, hs) stage instead of re-deriving shingle
+# hashes from scratch per query (measured ~1.7x waste in the verify path).
+# At 100 TB this stage is the natural persisted intermediate table.
+_NEAR_DUP_CORPUS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _NEAR_DUP_CORPUS_CACHE:
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(_SPARK_NORM).alias("norm")
+        )
+        near = d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.expr("substring(norm, 11)").alias("norm"),
+        )
+        corpus = d.unionByName(near).select(
+            "doc_id", F.expr(_SPARK_SHINGLES4).alias("sh")
+        )
+        hashed = corpus.select(
+            "doc_id",
+            "sh",
+            F.expr(_SPARK_SHINGLE_HASHES.format(sh="sh")).alias("hs"),
+        )
+        _NEAR_DUP_CORPUS_CACHE[key] = hashed.localCheckpoint()
+    return _NEAR_DUP_CORPUS_CACHE[key]
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_SPARK_NORM).alias("norm")
-    )
-    near = d.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.expr("substring(norm, 11)").alias("norm"),
-    )
-    corpus = d.unionByName(near)
-    hashed = corpus.select(
-        "doc_id",
-        F.expr(_SPARK_SHINGLE_HASHES.format(sh=_SPARK_SHINGLES4)).alias("hs"),
-    )
+    hashed = _near_dup_corpus(spark, sf_dir)
     sigs = hashed.select(
         "doc_id",
         *[
@@ -593,20 +612,15 @@ FROM kept x JOIN kept y
 
 
 # --------------------------------------------------------------------------
-# 13b. Near-dup CLUSTERS: connected components over the LSH pair graph by
-#      iterative min-label propagation — the production dedup step after
-#      candidate generation (keep one doc per component). Distributed CC:
-#      each iteration is one join + min-agg; lineage cut with localCheckpoint
-#      so the plan doesn't grow with iterations. Oracle: DuckDB recursive
-#      CTE computing the same min-reachable-id labels. Output is the
-#      cluster-size histogram (stable, tiny).
-#      Scale note: plain min-label propagation needs O(diameter) rounds
-#      (28s at sf0.1 where the capped LSH graph still has a 5.5k-node hub
-#      component); at 10^12 docs swap the loop body for the alternating
-#      large-star/small-star contraction (Kiveris et al., "Connected
-#      Components in MapReduce and Beyond") which converges in O(log n)
-#      rounds with the same min-id labels — the loop scaffolding
-#      (join + min-agg + localCheckpoint + convergence count) is identical.
+# 13b. Near-dup CLUSTERS: connected components over the LSH pair graph via
+#      alternating large-star/small-star contraction (Kiveris et al.,
+#      "Connected Components in MapReduce and Beyond") — the production
+#      dedup step after candidate generation (keep one doc per component).
+#      O(log n) rounds regardless of graph diameter, so web-scale hub
+#      components converge in a handful of join+min-agg passes; lineage is
+#      cut with localCheckpoint per round so the plan doesn't grow.
+#      Oracle: DuckDB recursive CTE computing the same min-reachable-id
+#      labels. Output is the cluster-size histogram (stable, tiny).
 # --------------------------------------------------------------------------
 
 
@@ -621,39 +635,93 @@ def q_dedup_clusters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cluster_pairs(q_minhash_verified(spark, sf_dir).select("a", "b"))
 
 
+_LAST_CC_ROUNDS = 0  # rounds of the most recent contraction (observability)
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al.): symmetrize, then for every
+    node u with m = min(N(u) ∪ {u}) connect each strictly-larger neighbor
+    v > u to m. Output edges always point larger -> smaller."""
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    m = sym.groupBy("a").agg(F.least(F.min("b"), F.col("a")).alias("m"))
+    return (
+        sym.join(m, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: edges arrive larger -> smaller; for every
+    node u with smaller-neighbor set N(u) and m = min(N(u)), connect u and
+    every other smaller neighbor to m."""
+    m = edges.groupBy("a").agg(F.min("b").alias("m"))
+    via_nbr = (
+        edges.join(m, "a")
+        .filter(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    via_self = m.select("a", F.col("m").alias("b"))
+    return via_nbr.unionByName(via_self).distinct()
+
+
+def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        # modular per-edge hash keeps the ANSI-mode sum overflow-free
+        F.coalesce(
+            F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(1_000_000_007))), F.lit(0)
+        ).alias("h"),
+    ).first()
+    return int(row.n), int(row.h)
+
+
 def _cluster_pairs(pairs: DataFrame) -> DataFrame:
     # the pairs pipeline (LSH + optional verification join) is expensive
-    # and referenced three times below (nodes + both edge directions):
-    # materialize it once
+    # and referenced below for both nodes and edges: materialize it once
     pairs = pairs.localCheckpoint()
     nodes = (
         pairs.select(F.col("a").alias("node"))
         .unionByName(pairs.select(F.col("b").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
-    edges = pairs.unionByName(
+    # alternating large-star/small-star contraction (Kiveris et al.,
+    # "Connected Components in MapReduce and Beyond"): O(log n) rounds vs
+    # O(graph diameter) for plain min-label propagation — on web-scale
+    # hub components (the capped LSH graph at sf0.1 already carries a
+    # 5.5k-node hub) this is the difference between ~4 rounds and ~30.
+    # Each round is two join+min-agg passes; lineage cut per round.
+    edges = (
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
-    labels = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint()
+        .distinct()
+        .localCheckpoint()
+    )  # canonical larger -> smaller (pairs arrive with a < b)
+    prev = _edge_checksum(edges)
+    rounds = 0
     while True:
-        msgs = edges.join(labels, edges.a == labels.node).select(
-            F.col("b").alias("node"), "lbl"
-        )
-        new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        rounds += 1
+        cur = _edge_checksum(edges)
+        if cur == prev:
             break
+        prev = cur
+    # observability: O(log n) convergence evidence (asserted in tests,
+    # reported in BENCH docs)
+    global _LAST_CC_ROUNDS
+    _LAST_CC_ROUNDS = rounds
+    # converged: a star forest, every edge is (node -> component-min root)
+    labels = (
+        nodes.join(
+            edges.select(F.col("a").alias("node"), F.col("b").alias("root")),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("root", "node").alias("lbl"))
+    )
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
     return (
         sizes.groupBy("cluster_size")
@@ -699,16 +767,7 @@ _JACCARD_THRESHOLD = 0.5
 
 def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_minhash_pairs(spark, sf_dir)
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_SPARK_NORM).alias("norm")
-    )
-    near = d.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.expr("substring(norm, 11)").alias("norm"),
-    )
-    corpus = d.unionByName(near).select(
-        "doc_id", F.expr(_SPARK_SHINGLES4).alias("sh")
-    )
+    corpus = _near_dup_corpus(spark, sf_dir)  # shingles already materialized
     a = corpus.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
     b = corpus.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "a").join(b, "b")
@@ -993,7 +1052,11 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("qn"),
         )
     )
-    pairs = q.join(F.broadcast(e), F.col("query_id") != F.col("vec_id"))
+    # broadcast the tiny QUERY side and stream the corpus — never the
+    # reverse: at 100 TB the corpus cannot broadcast, while the query set
+    # is a handful of vectors. The corpus scan stays partition-parallel
+    # and each partition ranks its rows against the broadcast queries.
+    pairs = F.broadcast(q).join(e, F.col("query_id") != F.col("vec_id"))
     sims = pairs.withColumn(
         "sim",
         F.round(
@@ -1157,8 +1220,58 @@ SELECT query_id, neighbor_id, rk FROM topk WHERE rk <= {_TOP_K}
 
 
 # --------------------------------------------------------------------------
-# 21. Embedding near-duplicate pairs (cosine >= threshold; dups in-query)
+# 20c. IVF recall@k vs the brute-force oracle — the quality envelope a
+#      100 TB user actually tunes (nprobe/K against recall). Both paths run
+#      distributed; the comparison is a semi-join on (query, neighbor).
 # --------------------------------------------------------------------------
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brute = q_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = q_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    n_true = brute.agg(F.count("*").cast("long").alias("n_true"))
+    n_hit = brute.join(ivf, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count("*").cast("long").alias("n_hit")
+    )
+    return n_true.crossJoin(n_hit).select(
+        "n_true",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall_at_k"),
+    )
+
+
+_ANN_IVF_RECALL_SQL = f"""
+WITH brute AS (
+  SELECT query_id, neighbor_id FROM ({_ANN_TOPK_SQL})
+), ivf AS (
+  SELECT query_id, neighbor_id FROM ({_ANN_IVF_SQL})
+), hit AS (
+  SELECT count(*) AS n_hit
+  FROM brute b WHERE EXISTS (
+    SELECT 1 FROM ivf i
+    WHERE i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id)
+)
+SELECT CAST((SELECT count(*) FROM brute) AS BIGINT) AS n_true,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       round(n_hit::DOUBLE / (SELECT count(*) FROM brute), 6) AS recall_at_k
+FROM hit
+"""
+
+
+# --------------------------------------------------------------------------
+# 21. Embedding near-duplicate pairs (cosine >= threshold; dups in-query).
+#     Scale path: sign-signature LSH bucketing FIRST (one narrow pass, the
+#     same family as q_ann_lsh_buckets), exact cosine only WITHIN buckets
+#     via an equi-join on the bucket key — never an all-pairs theta join
+#     over a full-corpus broadcast. At cosine >= 0.99 a near-duplicate
+#     pair agrees on essentially every hyperplane sign, so a 16-plane
+#     signature keeps recall at 1.0 for true duplicates (identical vectors
+#     share the signature exactly) while cutting candidates by ~2^16/n per
+#     bucket. The equi-join shuffles on the bucket key: skew-free for
+#     random embeddings, AQE skew-join covers pathological buckets.
+# --------------------------------------------------------------------------
+
+_NEAR_DUP_SIGN_BITS = 16
 
 
 def q_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1168,17 +1281,33 @@ def q_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = e.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "v"
     )
-    c = e.unionByName(dup).withColumn(
-        "nrm",
-        F.expr("sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (a, x) -> a + x))"),
+    sig = " + ".join(
+        f"if(element_at(v, {i + 1}) > 0, {1 << i}, 0)"
+        for i in range(_NEAR_DUP_SIGN_BITS)
+    )
+    c = (
+        e.unionByName(dup)
+        .withColumn(
+            "nrm",
+            F.expr(
+                "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y),"
+                " 0D, (a, x) -> a + x))"
+            ),
+        )
+        .withColumn("bucket", F.expr(f"cast({sig} as int)"))
     )
     a = c.alias("a")
     b = c.select(
         F.col("vec_id").alias("vec_id_b"),
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
+        F.col("bucket").alias("bucket_b"),
     ).alias("b")
-    pairs = a.join(F.broadcast(b), F.col("vec_id") < F.col("vec_id_b"))
+    pairs = a.join(
+        b,
+        (F.col("bucket") == F.col("bucket_b"))
+        & (F.col("vec_id") < F.col("vec_id_b")),
+    )
     sims = pairs.withColumn(
         "sim",
         F.round(
@@ -1633,6 +1762,7 @@ def query_registry() -> dict[str, QueryFn]:
         "ann_topk": q_ann_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_recall": q_ann_ivf_recall,
         "near_dup_cosine": q_near_dup_cosine,
         "media_meta": q_media_meta,
         "image_dhash_dups": q_image_dhash_dups,
@@ -1673,6 +1803,7 @@ def oracle_registry() -> dict[str, str]:
         "ann_topk": _ANN_TOPK_SQL.strip(),
         "ann_lsh_buckets": _ANN_LSH_SQL.strip(),
         "ann_ivf": _ANN_IVF_SQL.strip(),
+        "ann_ivf_recall": _ANN_IVF_RECALL_SQL.strip(),
         "near_dup_cosine": _NEAR_DUP_SQL.strip(),
         "media_meta": _MEDIA_META_SQL.strip(),
         "image_dhash_dups": _DHASH_DUPS_SQL.strip(),
