@@ -150,8 +150,12 @@ def detect_lines(gray: np.ndarray, ink: np.ndarray | None = None) -> np.ndarray:
 
 def group_into_lines(stats: np.ndarray, tol_frac: float = 0.6) -> list[np.ndarray]:
     """W3: sort components by center-y; start a new line when cy jumps more
-    than tol_frac * median component height (legacy:750-792). Returns a
-    list of per-line stats arrays sorted by x within line."""
+    than the ADAPTIVE threshold max(tol_frac * median component height,
+    0.5 * mean height of the current line) — the second term is the
+    reference's adaptive part (legacy:771-775) and is what keeps a line
+    containing tall-glyph boxes (ascenders/descenders ~2x the median char)
+    from splitting in two. Returns a list of per-line stats arrays sorted
+    by x within line."""
     if len(stats) == 0:
         return []
     med_h = float(np.median(stats[:, 3]))
@@ -162,7 +166,9 @@ def group_into_lines(stats: np.ndarray, tol_frac: float = 0.6) -> list[np.ndarra
         idx = int(idx)
         line = lines[-1]
         line_cy = float(np.mean([stats[i, 1] + stats[i, 3] / 2.0 for i in line]))
-        if abs((stats[idx, 1] + stats[idx, 3] / 2.0) - line_cy) <= tol_frac * med_h:
+        line_h = float(np.mean([stats[i, 3] for i in line]))
+        tol = max(tol_frac * med_h, 0.5 * line_h)
+        if abs((stats[idx, 1] + stats[idx, 3] / 2.0) - line_cy) <= tol:
             line.append(idx)
         else:
             lines.append([idx])
@@ -171,6 +177,37 @@ def group_into_lines(stats: np.ndarray, tol_frac: float = 0.6) -> list[np.ndarra
         arr = stats[np.array(line)]
         out.append(arr[np.argsort(arr[:, 0], kind="stable")])
     return out
+
+
+def line_boxes_from_groups(
+    lines: list[np.ndarray],
+    img_w: int,
+    img_h: int,
+    padding: float = 2.0,
+) -> np.ndarray:
+    """A4 + U3: per-line padded bbox hulls, then the reference's
+    vertical-overlap merge (legacy:796-832 `_create_line_boxes` +
+    `_merge_overlapping_boxes`). The merge is what re-joins an orphan
+    sub-glyph fragment line (a descender or diacritic the grouping split
+    off) with the line whose vertical extent it sits inside — without it,
+    fragment lines over-count n_lines. Returns (n, 5) x y w h conf sorted
+    by y."""
+    from .components import merge_overlapping
+
+    hulls = []
+    for line in lines:
+        if not len(line):
+            continue
+        hull = bbox_hull(line)
+        x = max(0.0, hull[0] - padding)
+        y = max(0.0, hull[1] - padding)
+        w = min(float(img_w) - x, hull[2] + 2 * padding)
+        h = min(float(img_h) - y, hull[3] + 2 * padding)
+        hulls.append(np.array([x, y, w, h, hull[4]]))
+    if not hulls:
+        return np.zeros((0, 5))
+    merged = merge_overlapping(np.stack(hulls))
+    return merged[np.argsort(merged[:, 1], kind="stable")]
 
 
 def reading_order(boxes: np.ndarray, tol_frac: float = 0.7) -> np.ndarray:

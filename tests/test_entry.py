@@ -31,8 +31,7 @@ def test_every_query_has_oracle():
     mod = _load_entry_module()
     q, o = mod.queries(), mod.oracle_sql()
     assert set(o) <= set(q)
-    # every query is oracle-checked except the genuinely non-SQL ones
-    # (driver contract: those get a rows-only check)
-    non_sql = {"model_decode", "finder_candidates"}
-    assert set(q) - set(o) == non_sql
+    # every query is oracle-checked — round 2 closed the last two
+    # rows-only gaps (finder line counts, model decode laws)
+    assert set(q) == set(o)
     assert len(q) >= 20

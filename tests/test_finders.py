@@ -150,3 +150,50 @@ def test_html_report_contains_rows_and_stats():
     )
     assert "2 regions" in html and "high: 1" in html and "low: 1" in html
     assert "hi &lt;b&gt;" in html  # escaped
+
+
+# --- full finder path: construction-known line counts -------------------------
+
+
+def test_finder_path_line_counts_on_known_pages():
+    """Regression for the round-1 ~12% line-count miss: pages whose glyphs
+    mix short (h~12) and tall (h~20, ascender/descender) characters must
+    not over-split. Two fixes under test: the adaptive grouping threshold
+    max(0.6*median_h, 0.5*mean line height) (legacy:771-775) and the
+    padded-hull vertical-overlap merge of line boxes (legacy:796-832)."""
+    from kiri_ocr_spark.imaging.glyphs import render_page
+    from kiri_ocr_spark.operators.components import (
+        filter_components,
+        relative_size_filter,
+    )
+    from kiri_ocr_spark.operators.detect import (
+        binarize,
+        group_into_lines,
+        invert_if_dark,
+        line_boxes_from_groups,
+    )
+    from kiri_ocr_spark.operators.finders import (
+        estimate_text_metrics,
+        multi_method_candidates,
+    )
+
+    # tall glyphs (k, l, g, y, j) mixed with short ones — the round-1 miss
+    cases = [
+        (["quickly jog"], 1),
+        (["mixed TALL gyj", "plain second"], 2),
+        (["hello world"], 1),
+        (["one klg line", "two jyp line"], 2),
+    ]
+    for texts, expected in cases:
+        gray = invert_if_dark(render_page(texts))
+        ink = binarize(gray)
+        kept = multi_method_candidates(gray, ink)
+        if len(kept):
+            kept = filter_components(kept, gray.shape[1], gray.shape[0])
+            kept = relative_size_filter(kept)
+        groups = group_into_lines(kept)
+        _, _, pad = estimate_text_metrics(kept)
+        lboxes = line_boxes_from_groups(
+            groups, gray.shape[1], gray.shape[0], padding=pad
+        )
+        assert len(lboxes) == expected, (texts, len(lboxes))
