@@ -53,17 +53,70 @@ def binarize(gray: np.ndarray) -> np.ndarray:
     return gray <= otsu_threshold(gray)
 
 
-def binarize_candidates(gray: np.ndarray) -> list[np.ndarray]:
-    """Candidate binarizations (subset of legacy:403-494 without cv2):
-    Otsu, Otsu-inverted, fixed mid, mean-offset, local-mean (box filter)."""
-    cands = [binarize(gray)]
-    cands.append(~cands[0])
-    cands.append(gray < 127)
-    cands.append(gray < max(1.0, gray.mean() - 10.0))
-    # crude adaptive: 15x15 box mean via cumulative sums, offset 8
-    ii = np.pad(gray.astype(np.float64), ((1, 0), (1, 0))).cumsum(0).cumsum(1)
-    k = 7
+def clahe(gray: np.ndarray, clip_limit: float = 2.0, tiles: int = 8) -> np.ndarray:
+    """F9: contrast-limited adaptive histogram equalization, numpy
+    re-expression of cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8,8))
+    (legacy:400-401): per-tile clipped histogram -> CDF mapping, bilinear
+    interpolation between the four surrounding tile mappings."""
     h, w = gray.shape
+    ty = max(1, min(tiles, h))
+    tx = max(1, min(tiles, w))
+    # tile edges (cv2 pads; simple equal split is fine for scoring use)
+    y_edges = np.linspace(0, h, ty + 1).astype(int)
+    x_edges = np.linspace(0, w, tx + 1).astype(int)
+    maps = np.zeros((ty, tx, 256), dtype=np.float64)
+    for i in range(ty):
+        for j in range(tx):
+            tile = gray[y_edges[i] : y_edges[i + 1], x_edges[j] : x_edges[j + 1]]
+            n = tile.size
+            if n == 0:
+                maps[i, j] = np.arange(256)
+                continue
+            hist = np.bincount(tile.ravel(), minlength=256).astype(np.float64)
+            clip = max(clip_limit * n / 256.0, 1.0)
+            excess = np.maximum(hist - clip, 0.0).sum()
+            hist = np.minimum(hist, clip) + excess / 256.0
+            cdf = hist.cumsum()
+            maps[i, j] = (cdf - cdf[0]) / max(cdf[-1] - cdf[0], 1.0) * 255.0
+    # bilinear interpolation of the per-tile mappings at every pixel
+    cy = (y_edges[:-1] + y_edges[1:]) / 2.0
+    cx = (x_edges[:-1] + x_edges[1:]) / 2.0
+    yi = np.clip(np.searchsorted(cy, np.arange(h)) - 1, 0, ty - 2) if ty > 1 else np.zeros(h, int)
+    xi = np.clip(np.searchsorted(cx, np.arange(w)) - 1, 0, tx - 2) if tx > 1 else np.zeros(w, int)
+    if ty > 1:
+        fy = np.clip((np.arange(h) - cy[yi]) / np.maximum(cy[yi + 1] - cy[yi], 1e-9), 0, 1)
+    else:
+        fy = np.zeros(h)
+    if tx > 1:
+        fx = np.clip((np.arange(w) - cx[xi]) / np.maximum(cx[xi + 1] - cx[xi], 1e-9), 0, 1)
+    else:
+        fx = np.zeros(w)
+    g = gray.astype(int)
+    rows = np.arange(h)[:, None]
+    cols = np.arange(w)[None, :]
+    yi2 = np.minimum(yi + 1, ty - 1)
+    xi2 = np.minimum(xi + 1, tx - 1)
+    v00 = maps[yi[:, None], xi[None, :], g]
+    v01 = maps[yi[:, None], xi2[None, :], g]
+    v10 = maps[yi2[:, None], xi[None, :], g]
+    v11 = maps[yi2[:, None], xi2[None, :], g]
+    fy2 = fy[:, None]
+    fx2 = fx[None, :]
+    out = (
+        v00 * (1 - fy2) * (1 - fx2)
+        + v01 * (1 - fy2) * fx2
+        + v10 * fy2 * (1 - fx2)
+        + v11 * fy2 * fx2
+    )
+    _ = rows, cols
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _box_mean(gray: np.ndarray, block: int) -> np.ndarray:
+    """Local mean over a block x block window via integral image."""
+    k = block // 2
+    h, w = gray.shape
+    ii = np.pad(gray.astype(np.float64), ((1, 0), (1, 0))).cumsum(0).cumsum(1)
     ys = np.arange(h)
     xs = np.arange(w)
     y0 = np.clip(ys - k, 0, h)[:, None]
@@ -71,8 +124,74 @@ def binarize_candidates(gray: np.ndarray) -> list[np.ndarray]:
     x0 = np.clip(xs - k, 0, w)[None, :]
     x1 = np.clip(xs + k + 1, 0, w)[None, :]
     area = (y1 - y0) * (x1 - x0)
-    local = (ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]) / area
-    cands.append(gray < local - 8)
+    return (ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]) / area
+
+
+def _gauss_mean(gray: np.ndarray, block: int) -> np.ndarray:
+    """Separable gaussian-weighted local mean; sigma per cv2's
+    adaptiveThreshold rule sigma = 0.3*((block-1)*0.5 - 1) + 0.8."""
+    sigma = 0.3 * ((block - 1) * 0.5 - 1) + 0.8
+    r = block // 2
+    t = np.arange(-r, r + 1, dtype=np.float64)
+    kern = np.exp(-(t * t) / (2 * sigma * sigma))
+    kern /= kern.sum()
+    g = gray.astype(np.float64)
+    pad_y = np.pad(g, ((r, r), (0, 0)), mode="edge")
+    tmp = np.einsum("k,kij->ij", kern,
+                    np.stack([pad_y[i : i + g.shape[0]] for i in range(block)]))
+    pad_x = np.pad(tmp, ((0, 0), (r, r)), mode="edge")
+    return np.einsum("k,ikj->ij", kern,
+                     np.stack([pad_x[:, i : i + g.shape[1]] for i in range(block)], axis=1))
+
+
+def _morph_gradient(gray: np.ndarray) -> np.ndarray:
+    """3x3-cross morphological gradient (dilate - erode), the numpy
+    analogue of cv2.morphologyEx(MORPH_GRADIENT, 3x3 ellipse)."""
+    g = gray.astype(np.int16)
+    p = np.pad(g, 1, mode="edge")
+    stack = np.stack(
+        [p[1:-1, 1:-1], p[:-2, 1:-1], p[2:, 1:-1], p[1:-1, :-2], p[1:-1, 2:]]
+    )
+    return (stack.max(axis=0) - stack.min(axis=0)).astype(np.uint8)
+
+
+def binarize_candidates(gray: np.ndarray) -> list[np.ndarray]:
+    """F9/F10/F11/F12: the full candidate bank of legacy:395-494 for
+    grayscale pages, numpy re-expressions of the cv2 calls. All adaptive
+    candidates run on the CLAHE-enhanced image like the reference; both
+    polarities ship and A1/A2 scoring picks the text-like ones. The
+    reference's RGB/HSV/LAB channel candidates apply only to 3-channel
+    input (use_color_channels, legacy:444-488) — this engine's media
+    pages are single-channel by construction, so the channel section is
+    n/a here and the grayscale bank (11 reference candidates) plus the
+    raw-gray extras make a 14-candidate bank."""
+    enhanced = clahe(gray)
+    cands = []
+    # otsu pair on the enhanced image (legacy:406-409)
+    otsu_mask = enhanced <= otsu_threshold(enhanced)
+    cands.append(otsu_mask)
+    cands.append(~otsu_mask)
+    # adaptive gaussian 21,10 / mean 15,8 / sauvola-like gaussian 51,20 /
+    # niblack-like mean 11,5 (legacy:411-441); THRESH_BINARY keeps
+    # pixel > localmean - C as foreground, inverse is the other polarity
+    for mean_fn, block, c in (
+        (_gauss_mean, 21, 10),
+        (_box_mean, 15, 8),
+        (_gauss_mean, 51, 20),
+        (_box_mean, 11, 5),
+    ):
+        local = mean_fn(enhanced, block)
+        mask = enhanced.astype(np.float64) > (local - c)
+        cands.append(mask)
+        cands.append(~mask)
+    # morphological-gradient + otsu (legacy:490-494): edges as ink
+    grad = _morph_gradient(enhanced)
+    cands.append(grad > otsu_threshold(grad))
+    # raw-gray extras kept from the round-1 bank (otsu on the unenhanced
+    # image, fixed mid, global mean-offset)
+    cands.append(binarize(gray))
+    cands.append(gray < 127)
+    cands.append(gray < max(1.0, gray.mean() - 10.0))
     return cands
 
 

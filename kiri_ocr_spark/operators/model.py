@@ -79,6 +79,34 @@ class CharTokenizer:
         self.ctc_vocab = self.n_raw + 2
         self.dec_vocab = self.n_raw + 3
 
+    @classmethod
+    def from_json(cls, source, unk_token: str = "<unk>") -> "CharTokenizer":
+        """F8: vocab JSON loader (reference model.py:84-93). Accepts a
+        path to a vocab.json or a JSON string of a {token: id} map;
+        appends the unk token at max(id)+1 when missing, sorts tokens by
+        their ORIGINAL ids and remaps to dense 0..n-1 — exactly the
+        reference's load-time canonicalization (ids in the file may be
+        sparse/arbitrary; the model's embedding rows are dense)."""
+        import json
+        import os
+
+        if isinstance(source, (str, os.PathLike)) and os.path.exists(str(source)):
+            with open(source, encoding="utf-8") as f:
+                vocab_raw: dict[str, int] = json.load(f)
+        else:
+            vocab_raw = json.loads(source)
+        if unk_token not in vocab_raw:
+            vocab_raw[unk_token] = max(vocab_raw.values(), default=-1) + 1
+        items = sorted(vocab_raw.items(), key=lambda kv: kv[1])
+        tok = cls.__new__(cls)
+        tok.chars = [t for t, _ in items]
+        tok.char_to_id = {t: i for i, (t, _) in enumerate(items)}
+        tok.unk_id = tok.char_to_id[unk_token]  # unk lives IN the vocab
+        tok.n_raw = len(items)
+        tok.ctc_vocab = tok.n_raw + 2
+        tok.dec_vocab = tok.n_raw + 3
+        return tok
+
     def encode(self, text: str) -> np.ndarray:
         return np.array(
             [self.char_to_id.get(c, self.unk_id) for c in text], dtype=np.int64

@@ -180,6 +180,122 @@ def stream_cumulative_text(
     return writer.start()
 
 
+TOKEN_OUTPUT_SCHEMA = (
+    "doc_id long, region int, step int, token string, text_so_far string, "
+    "region_finished boolean, document_finished boolean"
+)
+TOKEN_STATE_SCHEMA = "n_regions_done int, total int"
+
+
+def stream_token_decode(
+    spark: SparkSession,
+    span_rows_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int = 2,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """M7: per-token streaming emission — the Spark analogue of the
+    reference's character-level streaming decode
+    (/root/reference/kiri_ocr/model.py:689-780 greedy_ctc_decode_streaming
+    + core.py:887-1026 extract_text_stream_chars): as each recognized
+    region (span) arrives, emit one row PER TOKEN carrying the cumulative
+    region text, the step index, and the ``region_finished`` /
+    ``document_finished`` flags of the reference's chunk contract. The
+    reference's beam-retraction variant is decoder-streaming-only and has
+    no CTC analogue (CTC emission is monotone), so rows here are
+    append-only — which is exactly what makes them sink-safe at scale.
+
+    Input: parquet span rows (doc_id long, offset int, text string,
+    n_total int). State per doc is two ints (regions done, total) and is
+    dropped the moment the document finishes — bounded regardless of
+    document count."""
+    import pandas as pd  # noqa: F811
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = "doc_id long, offset int, text string, n_total int"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(span_rows_path)
+    )
+
+    def emit(key, pdfs, state: GroupState):
+        n_done, total = (state.get if state.exists else (0, 0))
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("offset")
+            for _, r in pdf.iterrows():
+                if len(pdf):
+                    total = int(r["n_total"])
+                text = "" if r["text"] is None else str(r["text"])
+                n_done += 1
+                doc_done = total > 0 and n_done >= total
+                if not text:
+                    # empty region: single finished marker row (the
+                    # reference yields one empty final chunk, core.py:1021)
+                    rows.append(
+                        (int(r["offset"]), 0, "", "", True, doc_done)
+                    )
+                    continue
+                so_far = ""
+                for step, ch in enumerate(text):
+                    so_far += ch
+                    last = step == len(text) - 1
+                    rows.append(
+                        (
+                            int(r["offset"]),
+                            step,
+                            ch,
+                            so_far,
+                            last,
+                            last and doc_done,
+                        )
+                    )
+        if total > 0 and n_done >= total:
+            state.remove()  # bounded state: finished docs leave nothing
+        else:
+            state.update((n_done, total))
+        if rows:
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "region",
+                    "step",
+                    "token",
+                    "text_so_far",
+                    "region_finished",
+                    "document_finished",
+                ],
+            )
+            out.insert(0, "doc_id", key[0])
+            yield out
+
+    tokens = stream.groupBy("doc_id").applyInPandasWithState(
+        emit,
+        outputStructType=TOKEN_OUTPUT_SCHEMA,
+        stateStructType=TOKEN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _write_batch_idempotent(batch_df, batch_id, out_dir)
+
+    writer = (
+        tokens.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_event_windows(
     spark: SparkSession,
     events_path: str,

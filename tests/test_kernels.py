@@ -323,3 +323,27 @@ def test_group_blocks_vertical_gap_and_overlap():
     lines2[1, 0] = 200.0
     blocks2 = group_blocks(lines2[:2])
     assert len(blocks2) == 2
+
+
+def test_binarization_bank_covers_reference_candidates():
+    """F9/F11/F12: the bank must carry the reference's full grayscale
+    candidate set (otsu pair, adaptive gaussian/mean pairs, sauvola- and
+    niblack-like pairs, morph-gradient; legacy:395-494) — >= 12 candidates,
+    every one a boolean mask, and A1/A2 scoring still picks a text-like
+    winner on a clean page AND on a low-contrast page (the CLAHE case)."""
+    from kiri_ocr_spark.operators.detect import binarize_candidates, clahe
+
+    page = render_page(["bank coverage test", "two lines"], scale=SCALE)
+    bank = binarize_candidates(page)
+    assert len(bank) >= 12
+    assert all(c.dtype == bool and c.shape == page.shape for c in bank)
+    # low-contrast page: squeeze the dynamic range; the selected top mask
+    # must still recover the same ink pixels plain Otsu finds on the
+    # original (CLAHE + adaptive candidates are what make this work)
+    low = (page.astype(np.float64) * 0.25 + 96).astype(np.uint8)
+    top_low = select_top_binarizations(low, k=1)[0]
+    assert (top_low == binarize(page)).mean() > 0.95
+    # clahe plumbing: uint8 out, shape preserved, deterministic
+    e = clahe(low)
+    assert e.dtype == np.uint8 and e.shape == low.shape
+    assert (clahe(low) == e).all()

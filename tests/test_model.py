@@ -164,3 +164,27 @@ def test_beam_ctc_fusion_and_eos_bias():
     eos_model = NumpyKiriModel(eos_cfg)
     short_text, _ = eos_model.beam_decode(mem)
     assert len(short_text) <= len(unfused[0])
+
+
+def test_tokenizer_from_json_sorted_by_id_remap(tmp_path):
+    """F8 (reference model.py:84-93): sparse/arbitrary file ids are sorted
+    then remapped dense; missing <unk> is appended at max(id)+1."""
+    import json
+
+    from kiri_ocr_spark.operators.model import CharTokenizer
+
+    raw = {"b": 5, "a": 2, "c": 9}
+    # from a JSON string
+    tok = CharTokenizer.from_json(json.dumps(raw))
+    assert tok.chars == ["a", "b", "c", "<unk>"]
+    assert tok.unk_id == 3 and tok.n_raw == 4
+    assert tok.ctc_vocab == 6 and tok.dec_vocab == 7
+    assert tok.encode("bax").tolist() == [1, 0, 3]
+    assert tok.decode_raw(tok.encode("cab")) == "cab"
+    # from a file path
+    p = tmp_path / "vocab.json"
+    p.write_text(json.dumps({"x": 0, "<unk>": 1, "y": 7}), encoding="utf-8")
+    tok2 = CharTokenizer.from_json(str(p))
+    assert tok2.chars == ["x", "<unk>", "y"]
+    assert tok2.unk_id == 1  # unk keeps its sorted position, not forced last
+    assert tok2.encode("zx").tolist() == [1, 0]

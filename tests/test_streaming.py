@@ -174,3 +174,62 @@ def test_cumulative_text_stateful_fold(spark, sf_tiny, tmp_path):
     assert g == w
     # every doc finished exactly once
     assert final.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+def test_token_stream_emits_per_token_rows(spark, sf_tiny, tmp_path):
+    """M7: per-token emission — tokens of a region concatenate back to the
+    region text, steps are dense, exactly one region_finished row per
+    region, document_finished fires on the final token of the final
+    region, and state is bounded (finished docs leave no state)."""
+    from kiri_ocr_spark.fixtures import build_documents
+    from kiri_ocr_spark.streaming.extract import stream_token_decode
+
+    docs = spark.read.parquet(f"{sf_tiny}/documents.parquet").limit(60)
+    spans = (
+        build_documents(docs)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+            F.coalesce(F.col("s.text"), F.col("s.media_ref")).alias("text"),
+        )
+    )
+    spans = spans.join(
+        spans.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_total")),
+        "doc_id",
+    )
+    rows_dir = str(tmp_path / "rows")
+    spans.repartition(5).write.parquet(rows_dir)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_token_decode(spark, rows_dir, out, ckpt)
+    assert q.awaitTermination(TIMEOUT_S)
+
+    got = spark.read.parquet(out)
+    # per-region reassembly: concat of tokens ordered by step == input text
+    reassembled = (
+        got.groupBy("doc_id", "region")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list(F.struct("step", "token"))), lambda s: s.token)
+            ).alias("text2"),
+            F.sum(F.col("region_finished").cast("int")).alias("n_fin"),
+            F.count("*").alias("n_tok"),
+            F.max("step").alias("max_step"),
+        )
+    )
+    joined = reassembled.join(
+        spans.withColumnRenamed("offset", "region"), ["doc_id", "region"]
+    )
+    bad = joined.filter(
+        (F.col("text2") != F.col("text"))
+        | (F.col("n_fin") != 1)
+        | (F.col("max_step") != F.col("n_tok") - 1)
+    )
+    assert bad.count() == 0
+    assert joined.count() == spans.count()
+    # document_finished exactly once per doc
+    fin = got.filter("document_finished").groupBy("doc_id").count()
+    assert fin.filter("count != 1").count() == 0
+    assert fin.count() == docs.count()
