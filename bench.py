@@ -74,6 +74,52 @@ def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _completed_stage_ids(spark) -> set[int]:
+    import json as _json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=5
+    ) as r:
+        return {(s["stageId"], s["attemptId"]): s for s in _json.load(r)}
+
+
+def stage_skew(spark, before: dict) -> dict:
+    """Task-time skew evidence for the stages a query just ran: pick the
+    heaviest new stage (by executorRunTime) and report its task-duration
+    median/max from the UI REST taskSummary. max/median near 1 means no
+    straggler tasks — the per-query analogue of the salt-balance check."""
+    import json as _json
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        after = _completed_stage_ids(spark)
+        new = [s for k, s in after.items() if k not in before]
+        if not new:
+            return {}
+        heavy = max(new, key=lambda s: s.get("executorRunTime", 0))
+        sid, att = heavy["stageId"], heavy["attemptId"]
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages/{sid}/{att}/taskSummary"
+            "?quantiles=0.5,1.0",
+            timeout=5,
+        ) as r:
+            q = _json.load(r)
+        med, mx = q["executorRunTime"]
+        return {
+            "heaviest_stage_tasks": heavy.get("numCompleteTasks"),
+            "task_ms_median": round(med, 1),
+            "task_ms_max": round(mx, 1),
+            "task_max_over_median": round(mx / med, 2) if med else None,
+        }
+    except Exception:
+        return {}  # UI REST unavailable (e.g. spark.ui.enabled=false)
+
+
 def materialize_fixture(spark, sf_dir: str, fix_dir: str) -> None:
     """Render the spans+media fixture once and park it as parquet."""
     from kiri_ocr_spark.fixtures import build_fixture
@@ -107,6 +153,7 @@ def main() -> None:
         app_name=f"kiri-bench-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=max(2 * cpus, 16),
+        ui=True,  # per-query task-skew evidence comes from the REST API
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -145,24 +192,39 @@ def main() -> None:
     # warm-up: JVM + python workers + broadcast (small slice)
     _noop_write(extract_flat(docs.limit(50), media, broadcast_media=True))
 
-    def timed(make_df, runs: int = 2) -> float:
+    skew_blocks: dict[str, dict] = {}
+
+    def timed(make_df, label: str, runs: int = 3) -> float:
         """min over ``runs`` — the sandbox host is shared and single runs
         vary several-fold under contention; min approximates the
-        machine-limited time."""
+        machine-limited time. The last run's heaviest-stage task-time
+        distribution is recorded as per-query skew evidence."""
         best = float("inf")
-        for _ in range(runs):
+        for i in range(runs):
+            before = {}
+            if i == runs - 1:
+                try:
+                    before = _completed_stage_ids(spark)
+                except Exception:
+                    before = {}
             t0 = time.monotonic()
             _noop_write(make_df())
             best = min(best, time.monotonic() - t0)
+            if i == runs - 1:
+                blk = stage_skew(spark, before)
+                if blk:
+                    skew_blocks[label] = blk
         return round(best, 3)
 
-    t_extract = timed(lambda: extract_flat(docs, media, broadcast_media=True))
+    t_extract = timed(
+        lambda: extract_flat(docs, media, broadcast_media=True), "extract_spans"
+    )
 
     timings: dict[str, float] = {"extract_spans": t_extract}
     if not extraction_only:
         registry = query_registry()
         for name in HEADLINE_QUERIES:
-            timings[name] = timed(lambda n=name: registry[n](spark, sf_dir))
+            timings[name] = timed(lambda n=name: registry[n](spark, sf_dir), name)
 
     result = {
         "metric": "end-to-end interleaved-document extraction wall time",
@@ -177,6 +239,7 @@ def main() -> None:
         "cpus": cpus,
         "fixture_build_sec": round(t_fixture, 3),
         "skew": salt_balance(docs),
+        "query_skew": skew_blocks,
     }
     spark.stop()
     print(json.dumps(result))

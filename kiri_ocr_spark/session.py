@@ -17,6 +17,7 @@ def get_spark(
     app_name: str = "kiri-ocr-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    ui: bool = False,
 ) -> SparkSession:
     # make this package importable in executor Python workers (local mode
     # inherits the env; on a cluster, ship via spark-submit --py-files)
@@ -43,6 +44,8 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
+        # UI off by default (tests spawn many sessions); bench.py turns it
+        # on to pull per-stage task-time distributions over the REST API
+        .config("spark.ui.enabled", "true" if ui else "false")
     )
     return builder.getOrCreate()
