@@ -38,6 +38,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Row-count repartition guard ahead of CPU-dense expression stages
+    (levenshtein, per-shingle md5): byte-based scan splitting cannot see
+    per-row CPU cost, and a single-row-group parquet file arrives as ONE
+    task no matter how expensive the downstream expressions are (bench
+    r1 skew blocks: cer_by_lang ran 4.4s in one task). Same principle as
+    the OCR stage's salted row-count repartition. No-op when the scan
+    already has parallelism — at 100 TB scans arrive with thousands of
+    partitions and this adds nothing."""
+    target = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    if df.rdd.getNumPartitions() >= max(target // 2, 2):
+        return df
+    return df.repartition(target)
+
+
 # --------------------------------------------------------------------------
 # 1. Flagship: full OCR extraction vs construction-time oracle
 # --------------------------------------------------------------------------
@@ -196,9 +213,8 @@ FROM g
 
 
 def q_cer_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.expr(_SPARK_NORM).alias("gt")
-    )
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
+    d = d.select("doc_id", "lang", F.expr(_SPARK_NORM).alias("gt"))
     d = d.withColumn(
         "pred",
         F.when(F.col("doc_id") % 3 == 0, F.regexp_replace("gt", "e", "")).otherwise(
@@ -503,9 +519,9 @@ _NEAR_DUP_CORPUS_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _NEAR_DUP_CORPUS_CACHE:
-        d = _t(spark, sf_dir, "documents").select(
-            "doc_id", F.expr(_SPARK_NORM).alias("norm")
-        )
+        d = _spread(
+            _t(spark, sf_dir, "documents").select("doc_id", "text")
+        ).select("doc_id", F.expr(_SPARK_NORM).alias("norm"))
         near = d.filter(F.col("doc_id") % 5 == 0).select(
             (F.col("doc_id") + 100000).alias("doc_id"),
             F.expr("substring(norm, 11)").alias("norm"),
@@ -811,7 +827,7 @@ SELECT a, b, jac FROM scored WHERE jac >= {_JACCARD_THRESHOLD}
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select(
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text")).select(
         "doc_id", F.expr(_SPARK_NORM).alias("norm")
     )
     sh = d.select(
