@@ -26,10 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE_QUERIES = [
     "minhash_pairs",
+    "minhash_verified",
+    "dedup_clusters",
     "simhash",
     "dedup_exact",
+    "near_dup_cosine",
     "ann_topk",
     "ann_ivf",
+    "ann_ivf_recall",
     "cer_by_lang",
     "session_regroup",
     "lineitem_agg",
