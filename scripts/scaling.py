@@ -214,7 +214,10 @@ Multiprocessing pools running the identical kernel:
 pages/s at {4*n} procs = **{ceiling:.2f}x** capacity. Spark's stage
 speedup of {stage_speedup:.2f}x is **{stage_speedup/ceiling:.3f}** of
 what the hardware can deliver — the framework overhead is measured, not
-assumed away.
+assumed away. (Values above 1.0 just mean the calibration ran in a
+noisier host window than the Spark stage did; the shared host varies
+~40% between identical runs, which is why the gate uses the nominal
+formula and min-of-3 timings, not this ratio.)
 
 ## 3. OCR stage (the part that dominates at 100 TB)
 
