@@ -25,8 +25,8 @@ import numpy as np
 # boxes are (N, 5) float arrays: x, y, w, h, confidence
 
 
-def connected_components(binary: np.ndarray) -> np.ndarray:
-    """8-connected components of a boolean image.
+def connected_components(binary: np.ndarray, connectivity: int = 8) -> np.ndarray:
+    """8- (default) or 4-connected components of a boolean image.
 
     Returns int32 label image, 0 = background, labels 1..n contiguous.
     Run-based two-pass union-find: all row runs are extracted in one
@@ -34,6 +34,8 @@ def connected_components(binary: np.ndarray) -> np.ndarray:
     runs is a contiguous slice found by binary search (both run lists are
     sorted and disjoint), so total work is O(runs + overlaps) instead of
     O(runs^2) — this kernel sits in the per-image OCR hot path.
+    4-connectivity (CRAFT postprocess uses cv2's connectivity=4) narrows
+    the run-overlap window to strict overlap: pe > s and ps < e.
     """
     h, w = binary.shape
     labels = np.zeros((h, w), dtype=np.int32)
@@ -70,8 +72,12 @@ def connected_components(binary: np.ndarray) -> np.ndarray:
         ends = xs_e[lo_b:hi_b]
         # 8-connectivity: prev run [ps,pe) touches cur [s,e) iff pe >= s
         # and ps <= e (exclusive ends; the diagonal widens the window by 1)
-        los = np.searchsorted(prev_ends, starts, side="left")
-        his = np.searchsorted(prev_starts, ends, side="right")
+        if connectivity == 8:
+            los = np.searchsorted(prev_ends, starts, side="left")
+            his = np.searchsorted(prev_starts, ends, side="right")
+        else:  # 4-conn: strict column overlap, no diagonal reach
+            los = np.searchsorted(prev_ends, starts, side="right")
+            his = np.searchsorted(prev_starts, ends, side="left")
         row_labels: list[int] = []
         for k in range(len(starts)):
             lo, hi = int(los[k]), int(his[k])

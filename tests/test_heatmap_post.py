@@ -1,0 +1,136 @@
+"""DB / CRAFT postprocessing kernels (F19-F21, P9, P10) — the geometry
+after the cut neural forward passes, tested against analytic ground truth
+and the deterministic model-seam heatmaps."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kiri_ocr_spark.operators.components import connected_components
+from kiri_ocr_spark.operators.heatmap_post import (
+    box_points,
+    box_score_fast,
+    craft_boxes,
+    db_postprocess,
+    fake_heatmaps,
+    fake_prob_map,
+    min_area_rect,
+    mini_box,
+    resize_to_multiple_of_32,
+    unclip_rect,
+)
+
+
+def test_min_area_rect_axis_aligned_and_rotated():
+    pts = np.array([[0, 0], [10, 0], [10, 4], [0, 4], [5, 2]], float)
+    (cx, cy), (w, h), ang = min_area_rect(pts)
+    assert (cx, cy) == (5.0, 2.0)
+    assert sorted([w, h]) == [4.0, 10.0]
+    # rotate a 20x6 rect by 30 degrees: dims preserved, sside = 6
+    t = np.radians(30)
+    base = np.array([[0, 0], [20, 0], [20, 6], [0, 6]], float)
+    rot = base @ np.array([[np.cos(t), np.sin(t)], [-np.sin(t), np.cos(t)]])
+    _, (w2, h2), _ = min_area_rect(rot)
+    assert sorted([round(w2, 6), round(h2, 6)]) == [6.0, 20.0]
+    box, sside = mini_box(rot)
+    assert abs(sside - 6.0) < 1e-6
+    # canonical order: starts at top-left-ish, 4 corners
+    assert box.shape == (4, 2)
+
+
+def test_box_points_roundtrip():
+    rect = ((7.0, 3.0), (8.0, 4.0), 0.0)
+    pts = box_points(rect)
+    (cx, cy), (w, h), _ = min_area_rect(pts)
+    assert abs(cx - 7) < 1e-9 and abs(cy - 3) < 1e-9
+    assert sorted([round(w, 6), round(h, 6)]) == [4.0, 8.0]
+
+
+def test_unclip_matches_analytic_distance():
+    """F21 law: d = area*ratio/perimeter; rect grows by 2d per dimension —
+    exactly what pyclipper round-join + minAreaRect compose to for rects."""
+    box = np.array([[0, 0], [20, 0], [20, 6], [0, 6]], float)
+    grown = unclip_rect(box, unclip_ratio=1.6)
+    d = 20 * 6 * 1.6 / (2 * 26)
+    _, sside = mini_box(grown)
+    assert abs(sside - (6 + 2 * d)) < 1e-6
+    # degenerate rect -> None
+    assert unclip_rect(np.zeros((4, 2))) is None
+
+
+def test_box_score_fast_is_mean_inside_quad():
+    pred = np.zeros((20, 20))
+    pred[5:10, 5:15] = 1.0  # the exact box region
+    box = np.array([[5, 5], [14, 5], [14, 9], [5, 9]], float)
+    s = box_score_fast(pred, box)
+    assert s > 0.99
+    # a box over empty area scores 0
+    empty = np.array([[0, 12], [4, 12], [4, 19], [0, 19]], float)
+    assert box_score_fast(pred, empty) == 0.0
+
+
+def test_db_postprocess_finds_separated_blobs():
+    """Two well-separated high-probability blobs -> two scored boxes with
+    the reference's threshold/min-size/unclip chain applied."""
+    pm = np.zeros((40, 100))
+    pm[5:12, 10:60] = 0.9
+    pm[25:32, 10:80] = 0.9
+    boxes, scores = db_postprocess(pm, 100, 40)
+    assert len(boxes) == 2
+    assert all(s > 0.5 for s in scores)
+    # unclip made each box wider than its blob
+    widths = sorted(float(b[:, 0].max() - b[:, 0].min()) for b in boxes)
+    assert widths[0] > 50 and widths[1] > 70
+    # tiny blob is dropped by min_size
+    pm2 = np.zeros((40, 100))
+    pm2[5:7, 5:7] = 0.9
+    b2, _ = db_postprocess(pm2, 100, 40)
+    assert b2 == []
+
+
+def test_craft_boxes_link_merges_characters():
+    """P10: two char blobs joined by a link region form ONE component in
+    the combined score (the CRAFT word-grouping mechanism); without the
+    link they stay separate."""
+    text = np.zeros((30, 60))
+    text[10:20, 5:20] = 0.9
+    text[10:20, 30:45] = 0.9
+    no_link = np.zeros_like(text)
+    assert len(craft_boxes(text, no_link)) == 2
+    link = np.zeros_like(text)
+    link[12:18, 18:32] = 0.6  # bridges the two chars
+    assert len(craft_boxes(text, link)) == 1
+    # low max-text-score components are dropped (text_threshold=0.7)
+    weak = np.zeros((30, 60))
+    weak[10:20, 5:20] = 0.5
+    assert craft_boxes(weak, no_link) == []
+
+
+def test_resize_to_multiple_of_32_contract():
+    img = np.arange(100 * 70, dtype=np.uint8).reshape(100, 70)
+    r, (h, w), (rh, rw) = resize_to_multiple_of_32(img)
+    assert (h, w) == (100, 70)
+    assert r.shape[0] % 32 == 0 and r.shape[1] % 32 == 0
+    assert abs(rh - r.shape[0] / 100) < 1e-9
+    # long side capped
+    big = np.zeros((2000, 500), dtype=np.uint8)
+    r2, _, _ = resize_to_multiple_of_32(big, max_side_len=960)
+    assert max(r2.shape) <= 960 + 16  # rounded to /32
+
+
+def test_connected_components_4_vs_8():
+    """Diagonal-only touching pixels: one component at 8-conn, two at 4."""
+    m = np.zeros((4, 4), dtype=bool)
+    m[0, 0] = m[1, 1] = True
+    assert connected_components(m, connectivity=8).max() == 1
+    assert connected_components(m, connectivity=4).max() == 2
+
+
+def test_model_seam_heatmaps_are_deterministic():
+    ink = np.zeros((20, 40), dtype=bool)
+    ink[5:12, 5:30] = True
+    pm = fake_prob_map(ink)
+    assert pm.shape == ink.shape and 0 <= pm.min() and pm.max() <= 1
+    assert (fake_prob_map(ink) == pm).all()
+    t, l = fake_heatmaps(ink)
+    assert t.shape == ink.shape and l.shape == ink.shape
