@@ -140,3 +140,16 @@ def test_cc_contraction_converges_in_log_rounds(spark, sf_tiny):
     hist = {r.cluster_size: r.n_clusters for r in Q._cluster_pairs(path).collect()}
     assert hist == {64: 1}
     assert Q._LAST_CC_ROUNDS <= 8  # log2(64)=6 plus slack; diameter is 63
+
+
+def test_spread_is_noop_when_scan_already_parallel(spark):
+    """_spread must repartition the single-partition fixture scans but
+    add NOTHING when the input already has parallelism (the 100 TB case:
+    scans arrive with thousands of partitions)."""
+    from kiri_ocr_spark.queries import _spread
+
+    wide = spark.range(0, 10000, 1, 32)
+    assert _spread(wide) is wide  # identity — no added exchange
+    narrow = spark.range(0, 10000, 1, 1)
+    out = _spread(narrow)
+    assert out.rdd.getNumPartitions() >= 8
