@@ -1242,6 +1242,139 @@ SELECT query_id, neighbor_id, rk FROM topk WHERE rk <= {_TOP_K}
 
 
 # --------------------------------------------------------------------------
+# 20b2. IVF with one distributed Lloyd (k-means) iteration — the coarse
+#       quantizer TRAINED the way it would be at 100 TB: seed with the
+#       first K vectors, assign every vector to its nearest seed (one
+#       broadcast + narrow pass), recompute each cell's centroid as the
+#       element-wise mean via posexplode -> partial-agg avg per (cell,
+#       dim) -> re-assemble (map-side combine does the heavy lifting; the
+#       shuffle carries K*dim tiny partials per mapper, never vectors),
+#       then assign/probe/search with the trained centroids. Centroid
+#       components round to 6dp on BOTH engines so cross-engine float
+#       drift cannot flip a rank at the 6dp cosine rounding.
+# --------------------------------------------------------------------------
+
+
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", F.expr(f"sqrt({_DOT.format(a='v', b='v')})"))
+    )
+    seeds = e.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell_id"))
+
+    def assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+        scored = vectors.join(F.broadcast(centroids)).withColumn(
+            "csim",
+            F.round(
+                F.expr(_DOT.format(a="v", b="cv")) / (F.col("nrm") * F.col("cn")), 6
+            ),
+        )
+        return scored.withColumn("rn", F.row_number().over(w_assign))
+
+    # Lloyd step: element-wise mean per cell (posexplode -> combinable avg)
+    assigned0 = (
+        assign(e, seeds).filter(F.col("rn") == 1).select("vec_id", "v", "cell_id")
+    )
+    dims = assigned0.select(
+        "cell_id", F.posexplode("v").alias("dim", "x")
+    )
+    means = dims.groupBy("cell_id", "dim").agg(F.avg("x").alias("m"))
+    trained = (
+        means.groupBy("cell_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, m))),"
+                " s -> round(s.m, 6))"
+            ).alias("cv")
+        )
+        .withColumn("cn", F.expr(f"sqrt({_DOT.format(a='cv', b='cv')})"))
+    )
+    assigned = (
+        assign(e, trained).filter(F.col("rn") == 1).select("vec_id", "v", "nrm", "cell_id")
+    )
+    probes = (
+        assign(e.filter(F.col("vec_id") < _N_QUERIES), trained)
+        .filter(F.col("rn") <= _N_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "cell_id",
+        )
+    )
+    cand = probes.join(assigned, "cell_id").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    sims = cand.withColumn(
+        "sim",
+        F.round(F.expr(_DOT.format(a="qv", b="v")) / (F.col("qn") * F.col("nrm")), 6),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rk")
+    )
+
+
+_ANN_IVF_TRAINED_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), seeds AS (
+  SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e WHERE vec_id < {_N_CELLS}
+), s0 AS (
+  SELECT e.vec_id, e.v, s.cell_id,
+         round(list_dot_product(e.v, s.cv) / (e.nrm * s.cn), 6) AS csim,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_dot_product(e.v, s.cv)
+                                     / (e.nrm * s.cn), 6) DESC, s.cell_id) AS rn
+  FROM e, seeds s
+), a0 AS (
+  SELECT vec_id, v, cell_id FROM s0 WHERE rn = 1
+), dims AS (
+  SELECT cell_id, g.dim - 1 AS dim, v[g.dim] AS x
+  FROM a0, unnest(generate_series(1, len(v))) AS g(dim)
+), means AS (
+  SELECT cell_id, dim, avg(x) AS m FROM dims GROUP BY cell_id, dim
+), trained AS (
+  SELECT cell_id, list(round(m, 6) ORDER BY dim) AS cv FROM means GROUP BY cell_id
+), tr AS (
+  SELECT cell_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM trained
+), s1 AS (
+  SELECT e.vec_id, e.v, e.nrm, t.cell_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_dot_product(e.v, t.cv)
+                                     / (e.nrm * t.cn), 6) DESC, t.cell_id) AS rn
+  FROM e, tr t
+), assigned AS (
+  SELECT vec_id, v, nrm, cell_id FROM s1 WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cell_id
+  FROM s1 WHERE vec_id < {_N_QUERIES} AND rn <= {_N_PROBE}
+), sims AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(list_dot_product(p.qv, a.v) / (p.qn * a.nrm), 6) AS sim
+  FROM probes p JOIN assigned a ON p.cell_id = a.cell_id
+  WHERE p.query_id <> a.vec_id
+), topk AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS INT) AS rk
+  FROM sims
+)
+SELECT query_id, neighbor_id, rk FROM topk WHERE rk <= {_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # 20c. IVF recall@k vs the brute-force oracle — the quality envelope a
 #      100 TB user actually tunes (nprobe/K against recall). Both paths run
 #      distributed; the comparison is a semi-join on (query, neighbor).
@@ -1820,6 +1953,7 @@ def query_registry() -> dict[str, QueryFn]:
         "ann_topk": q_ann_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_trained": q_ann_ivf_trained,
         "ann_ivf_recall": q_ann_ivf_recall,
         "near_dup_cosine": q_near_dup_cosine,
         "media_meta": q_media_meta,
@@ -1861,6 +1995,7 @@ def oracle_registry() -> dict[str, str]:
         "ann_topk": _ANN_TOPK_SQL.strip(),
         "ann_lsh_buckets": _ANN_LSH_SQL.strip(),
         "ann_ivf": _ANN_IVF_SQL.strip(),
+        "ann_ivf_trained": _ANN_IVF_TRAINED_SQL.strip(),
         "ann_ivf_recall": _ANN_IVF_RECALL_SQL.strip(),
         "near_dup_cosine": _NEAR_DUP_SQL.strip(),
         "media_meta": _MEDIA_META_SQL.strip(),
