@@ -4,7 +4,7 @@ efficiency >= 0.8 between N and 4N executors).
 
 No real cluster exists in the sandbox, so per the driver instruction we run
 the SAME extraction workload at two parallelism levels — local[N] and
-local[4N] (default N=8) — on the SAME (replicated) input, in fresh JVMs,
+local[4N] (default N=4; see main()) — on the SAME replicated input, in fresh JVMs,
 and report throughput at both plus scaling efficiency.
 
 Three measurements, most-specific first:
@@ -112,7 +112,7 @@ def run_level(cpus: int, sf_dir: str, fixture_dir: str) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_FIXTURE_DIR"] = fixture_dir
-    env.setdefault("SPARK_GRAFT_BENCH_MULT", str(25))
+    env.setdefault("SPARK_GRAFT_BENCH_MULT", str(100))
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--extraction-only"],
         capture_output=True,
@@ -132,7 +132,7 @@ def main() -> None:
     # framework). The gate below is the plain north-rule formula
     # efficiency = (T_N / T_4N) / 4 — no ceiling renormalization.
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
-    mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "25"))
+    mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "100"))  # kernel is ~6x faster since r1; 100x keeps compute >> the fixed job floor
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_label = os.path.basename(sf_dir.rstrip("/"))
     fixture_dir = os.environ.get(
