@@ -69,7 +69,7 @@ def hardware_capacity(n: int) -> dict:
 _STAGE_CODE = """
 import sys, time, json
 sys.path.insert(0, {repo!r})
-from functools import reduce
+
 from kiri_ocr_spark.session import get_spark
 from pyspark.sql import functions as F
 cpus = {cpus}
@@ -77,10 +77,8 @@ spark = get_spark(app_name="stage-scale", master=f"local[{{cpus}}]",
                   shuffle_partitions=2 * cpus)
 spark.sparkContext.setLogLevel("ERROR")
 fix = {fixture!r}
-docs0 = spark.read.parquet(fix + "/docs")
-docs = reduce(lambda a, b: a.unionByName(b),
-              [docs0.withColumn("doc_id", F.col("doc_id") + F.lit(k * 10_000_000))
-               for k in range({mult})])
+import bench
+docs = bench.replicated_docs(spark, spark.read.parquet(fix + "/docs"), fix, {mult})
 media = spark.read.parquet(fix + "/media")
 from kiri_ocr_spark.pipeline import extract_span_rows
 rows = extract_span_rows(docs, media, broadcast_media=True).filter("kind = 'media'")
