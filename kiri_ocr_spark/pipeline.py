@@ -89,6 +89,8 @@ def _ocr_batches(broadcast):
                 # Marker: text NULL, conf 0, n_lines -1 — downstream can
                 # route `n_lines = -1` rows to a dead-letter table.
                 try:
+                    if blob is None:  # payload missing from the store
+                        raise ValueError("missing media payload")
                     gray = decode_gray(bytes(blob))
                     text, conf, n = extract_page_text(gray)
                 except _QUARANTINE:
@@ -141,6 +143,23 @@ def extract_span_rows(
         )
     )
 
+    # unknown span kinds must not vanish: at 10^12 docs silent row loss is
+    # unrecoverable. Dead-letter them inline (text carried through, conf 0,
+    # n_lines -2 marker) so the document's span sequence stays complete
+    # and downstream can route `n_lines = -2` rows for inspection.
+    other_rows = (
+        spans.filter(~F.col("kind").isin("text", "media"))
+        .select(
+            "doc_id",
+            "offset",
+            "kind",
+            F.col("text"),
+            "media_ref",
+            F.lit(0.0).alias("conf"),
+            F.lit(-2).alias("n_lines"),
+        )
+    )
+
     media_rows = spans.filter(F.col("kind") == "media").select(
         "doc_id", "offset", "kind", "media_ref"
     )
@@ -159,20 +178,23 @@ def extract_span_rows(
     nparts = media_partitions or 2 * int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    # LEFT join: a media_ref missing from the payload store must surface
+    # as a quarantined row (n_lines -1, like a corrupt payload), never
+    # silently drop the span from the document's sequence.
     if broadcast_media:
         # small media store: broadcast payload; the slim ref side is
         # pre-repartitioned and keeps its partitioning through the join,
         # so image bytes never shuffle at all.
         joined = (
             salted.repartition(nparts, "salt", "doc_id")
-            .join(F.broadcast(media), "media_ref")
+            .join(F.broadcast(media), "media_ref", "left")
         )
     else:
         # large media store: shuffle join on media_ref (unique per span ->
         # inherently skew-free), then an explicit row-count repartition on
         # the salt feeds the kernel uniform AQE-proof tasks. On a real
         # cluster, bucket media by media_ref to make the join co-located.
-        joined = salted.join(media, "media_ref").repartition(nparts, "salt")
+        joined = salted.join(media, "media_ref", "left").repartition(nparts, "salt")
     joined = joined.select("doc_id", "offset", "kind", "media_ref", "png_bytes")
 
     from .imaging.glyphs import template_index
@@ -180,7 +202,7 @@ def extract_span_rows(
     bc = spark.sparkContext.broadcast(template_index())
     ocr = joined.mapInPandas(_ocr_batches(bc), schema=OCR_SCHEMA).drop("batch_ms")
 
-    return text_rows.unionByName(ocr)
+    return text_rows.unionByName(ocr).unionByName(other_rows)
 
 
 def assemble_documents(span_rows: DataFrame) -> DataFrame:

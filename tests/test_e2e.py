@@ -213,3 +213,46 @@ def test_truncated_idat_is_quarantined_not_fatal(spark, sf_tiny):
     bad = rows.filter(F.col("n_lines") == -1).collect()
     assert len(bad) == 1 and bad[0].media_ref == "img_0_0"
     assert bad[0].text is None and bad[0].conf == 0.0
+
+
+def test_no_silent_span_loss(spark, sf_tiny):
+    """At 10^12 docs a silently dropped span is unrecoverable. Spans with
+    an unknown kind dead-letter inline (n_lines -2, text preserved) and a
+    media_ref missing from the payload store quarantines (n_lines -1) —
+    the document's span sequence stays complete either way."""
+    from pyspark.sql import functions as F
+
+    from kiri_ocr_spark.fixtures import build_fixture
+    from kiri_ocr_spark.pipeline import extract_span_rows
+
+    docs, media = build_fixture(spark, sf_tiny)
+    # inject one unknown-kind span and retarget one media span at a ref
+    # that does not exist in the store
+    docs2 = docs.withColumn(
+        "spans",
+        F.expr(
+            """
+            transform(spans, s -> case
+              when doc_id = 3 and s.offset = 0 then
+                named_struct('kind', 'table', 'text', s.text,
+                             'media_ref', s.media_ref, 'offset', s.offset)
+              when doc_id = 1 and s.kind = 'media' and s.offset = 1 then
+                named_struct('kind', 'media', 'text', s.text,
+                             'media_ref', 'img_does_not_exist',
+                             'offset', s.offset)
+              else s end)
+            """
+        ),
+    )
+    rows = extract_span_rows(docs2, media, broadcast_media=True)
+    dead = rows.filter("n_lines = -2").collect()
+    assert len(dead) == 1 and dead[0].kind == "table" and dead[0].doc_id == 3
+    assert dead[0].text is not None and dead[0].conf == 0.0
+    missing = rows.filter("n_lines = -1").collect()
+    assert len(missing) == 1 and missing[0].media_ref == "img_does_not_exist"
+    # total span count identical to the untouched pipeline — nothing lost
+    assert rows.count() == extract_span_rows(docs, media, broadcast_media=True).count()
+    # the shuffle-join path preserves spans too
+    rows_sj = extract_span_rows(docs2, media, broadcast_media=False)
+    assert rows_sj.count() == rows.count()
+    assert rows_sj.filter("n_lines = -1").count() == 1
