@@ -46,7 +46,7 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    from kiri_ocr_spark.operators.checkpoint import run_extraction
+    from kiri_ocr_spark.operators.checkpoint import committed_parts, run_extraction
 
     # master/deploy-mode come from spark-submit; only job-level conf here
     spark = (
@@ -61,6 +61,7 @@ def main() -> None:
 
     docs = spark.read.parquet(args.docs)
     media = spark.read.parquet(args.media)
+    pre_committed = committed_parts(spark, args.ckpt, args.run_id).count()
     t0 = time.monotonic()
     n_done = run_extraction(
         spark,
@@ -80,8 +81,12 @@ def main() -> None:
             {
                 "run_id": args.run_id,
                 "partitions_processed": n_done,
+                "partitions_skipped": pre_committed,
                 "wall_sec": round(wall, 3),
-                "resumed": n_done == 0,
+                # resumed = this run found prior committed work and skipped
+                # it (a mid-kill restart); the old n_done==0 definition only
+                # flagged the everything-was-already-done case
+                "resumed": pre_committed > 0,
             }
         )
     )
