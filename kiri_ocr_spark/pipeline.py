@@ -130,33 +130,26 @@ def extract_span_rows(
         "doc_id", F.explode("spans").alias("s")
     ).select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
 
+    # ONE non-media branch handles both text spans and unknown kinds —
+    # unknown kinds must not vanish (at 10^12 docs silent row loss is
+    # unrecoverable): they dead-letter inline with text carried through,
+    # conf 0 and an n_lines = -2 marker, folded into the text branch's
+    # predicate so the robustness guard costs zero extra scans.
+    is_text = F.col("kind") == "text"
     text_rows = (
-        spans.filter(F.col("kind") == "text")
+        spans.filter(F.col("kind") != "media")
         .select(
             "doc_id",
             "offset",
             "kind",
-            normalize_text(F.col("text")).alias("text"),
-            F.lit(None).cast("string").alias("media_ref"),
-            F.lit(1.0).alias("conf"),
-            F.lit(0).alias("n_lines"),
-        )
-    )
-
-    # unknown span kinds must not vanish: at 10^12 docs silent row loss is
-    # unrecoverable. Dead-letter them inline (text carried through, conf 0,
-    # n_lines -2 marker) so the document's span sequence stays complete
-    # and downstream can route `n_lines = -2` rows for inspection.
-    other_rows = (
-        spans.filter(~F.col("kind").isin("text", "media"))
-        .select(
-            "doc_id",
-            "offset",
-            "kind",
-            F.col("text"),
-            "media_ref",
-            F.lit(0.0).alias("conf"),
-            F.lit(-2).alias("n_lines"),
+            F.when(is_text, normalize_text(F.col("text")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+            F.when(is_text, F.lit(None).cast("string"))
+            .otherwise(F.col("media_ref"))
+            .alias("media_ref"),
+            F.when(is_text, F.lit(1.0)).otherwise(F.lit(0.0)).alias("conf"),
+            F.when(is_text, F.lit(0)).otherwise(F.lit(-2)).alias("n_lines"),
         )
     )
 
@@ -202,7 +195,7 @@ def extract_span_rows(
     bc = spark.sparkContext.broadcast(template_index())
     ocr = joined.mapInPandas(_ocr_batches(bc), schema=OCR_SCHEMA).drop("batch_ms")
 
-    return text_rows.unionByName(ocr).unionByName(other_rows)
+    return text_rows.unionByName(ocr)
 
 
 def assemble_documents(span_rows: DataFrame) -> DataFrame:

@@ -104,10 +104,7 @@ def test_partition_count_scales_with_shuffle_setting(spark, sf_tiny):
     )
     sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
     nparts = rows.rdd.getNumPartitions()
-    # 2*sp kernel tasks, plus at most one residual scan partition from the
-    # unknown-kind dead-letter union branch (Catalyst can't fold the
-    # contradictory kind filters on that branch to an empty relation)
-    assert 2 * sp <= nparts <= 2 * sp + 1
+    assert nparts == 2 * sp
 
 
 def test_ann_topk_broadcasts_queries_not_corpus(spark, sf_tiny):
