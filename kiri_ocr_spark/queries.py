@@ -719,7 +719,11 @@ def _cluster_pairs(pairs: DataFrame) -> DataFrame:
     prev = _edge_checksum(edges)
     rounds = 0
     while True:
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        # lazy checkpoint: the checksum aggregation is the action that
+        # materializes it — one job per round instead of two. (On a real
+        # cluster swap localCheckpoint for a reliable df.checkpoint(dir):
+        # local checkpoints don't survive executor loss.)
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         rounds += 1
         cur = _edge_checksum(edges)
         if cur == prev:
@@ -1890,6 +1894,113 @@ WHERE n_media > 0
 
 
 # --------------------------------------------------------------------------
+# 23d. Stratified sampling — training-data curation: per-language quotas
+#      via a deterministic md5-derived hash bucket (the distributed
+#      equivalent of "sample 40% of lang A, 10% of lang B" that stays
+#      stable across reruns and cluster sizes; no rand(), no collect).
+#      One narrow pass; the only shuffle is the tiny per-lang count agg.
+# --------------------------------------------------------------------------
+
+_SAMPLE_QUOTAS = {"km": 80, "en": 40, "fr": 20, "de": 20, "es": 10}
+_SAMPLE_DEFAULT_QUOTA = 5
+
+_SPARK_DOC_BUCKET = (
+    "pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)"
+    " as bigint), 100)"
+)
+_DUCK_DOC_BUCKET = (
+    "(CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15)) AS UBIGINT)"
+    "::BIGINT % 100)"
+)
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    quota = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(q))
+            for lang, q in _SAMPLE_QUOTAS.items()
+        ],
+        F.lit(_SAMPLE_DEFAULT_QUOTA),
+    )
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .withColumn("bucket", F.expr(_SPARK_DOC_BUCKET))
+        .withColumn("quota", quota)
+    )
+    kept = d.filter(F.col("bucket") < F.col("quota"))
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def _sample_stratified_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {q}" for lang, q in _SAMPLE_QUOTAS.items()
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, {_DUCK_DOC_BUCKET} AS bucket,
+         CASE lang {cases} ELSE {_SAMPLE_DEFAULT_QUOTA} END AS quota
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM d WHERE bucket < quota GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# 23e. Token-budget shard packing — the "write training shards of ~N
+#      tokens" step: deterministic packing by running token count over a
+#      stable document order (window cumsum, shard = floor((cum-own)/T)).
+#      At 100 TB: range-partition by the order key and the window runs
+#      per-range with a tiny boundary-offset pass — no single-node sort.
+# --------------------------------------------------------------------------
+
+_SHARD_TOKEN_TARGET = 4000
+
+
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"size(split({_SPARK_NORM}, ' '))").alias("n_tokens"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = d.withColumn(
+        "shard_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / F.lit(_SHARD_TOKEN_TARGET)
+        ).cast("int"),
+    )
+    return packed.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+_TOKEN_SHARDS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, len(string_split({_DUCK_NORM}, ' ')) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+              / {_SHARD_TOKEN_TARGET}) AS INT) AS shard_id
+  FROM d
+)
+SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens, min(doc_id) AS first_doc
+FROM packed GROUP BY shard_id
+"""
+
+
+# --------------------------------------------------------------------------
 # 24. Event-time tumbling window aggregation (streaming-shaped batch query)
 # --------------------------------------------------------------------------
 
@@ -1962,6 +2073,8 @@ def query_registry() -> dict[str, QueryFn]:
         "word_segmentation": q_word_segmentation,
         "finder_candidates": q_finder_candidates,
         "model_decode": q_model_decode,
+        "sample_stratified": q_sample_stratified,
+        "token_shards": q_token_shards,
         "event_hourly": q_event_hourly,
     }
 
@@ -2004,5 +2117,7 @@ def oracle_registry() -> dict[str, str]:
         "word_segmentation": _WORD_SEG_SQL.strip(),
         "finder_candidates": _FINDER_SQL.strip(),
         "model_decode": _MODEL_DECODE_SQL.strip(),
+        "sample_stratified": _sample_stratified_sql().strip(),
+        "token_shards": _TOKEN_SHARDS_SQL.strip(),
         "event_hourly": _EVENT_HOURLY_SQL.strip(),
     }
