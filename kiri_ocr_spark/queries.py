@@ -1964,15 +1964,46 @@ _SHARD_TOKEN_TARGET = 4000
 
 
 def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr(f"size(split({_SPARK_NORM}, ' '))").alias("n_tokens"),
+    # distributed prefix sum — an unpartitioned Window.orderBy would drag
+    # the whole table into ONE task. Instead: range-partition on the order
+    # key, cumsum WITHIN each partition, then add each partition's
+    # boundary offset (the cumsum of preceding partitions' totals — a
+    # K-row table computed once and broadcast back). The result is
+    # invariant to where the range boundaries land, so sampling-based
+    # repartitionByRange stays deterministic.
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(f"size(split({_SPARK_NORM}, ' '))").alias("n_tokens"),
+        )
+        .repartitionByRange(nparts, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    packed = d.withColumn(
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # materialize once: offsets and the final pass must see the SAME range
+    # boundaries (repartitionByRange samples; two independent executions
+    # of the subtree could split differently and mismatch pids)
+    d = d.withColumn("local_cum", F.sum("n_tokens").over(w_local)).localCheckpoint()
+    # K-row offsets table: total tokens of all preceding partitions
+    w_pid = (
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    )  # K rows only — this tiny window is NOT the data-scale sort
+    offsets = (
+        d.groupBy("pid")
+        .agg(F.sum("n_tokens").alias("part_total"))
+        .withColumn("offset", F.coalesce(F.sum("part_total").over(w_pid), F.lit(0)))
+        .select("pid", "offset")
+    )
+    packed = d.join(F.broadcast(offsets), "pid").withColumn(
         "shard_id",
         F.floor(
-            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            (F.col("local_cum") + F.col("offset") - F.col("n_tokens"))
             / F.lit(_SHARD_TOKEN_TARGET)
         ).cast("int"),
     )

@@ -153,3 +153,42 @@ def test_spread_is_noop_when_scan_already_parallel(spark):
     narrow = spark.range(0, 10000, 1, 1)
     out = _spread(narrow)
     assert out.rdd.getNumPartitions() >= 8
+
+
+def test_token_shards_has_no_global_window_sort(spark, sf_tiny):
+    """Scale guard: the shard-packing prefix sum must never plan a
+    single-partition global window (Exchange SinglePartition over the
+    data-scale table). The K-row pid-offsets window is exempt — it
+    aggregates one row per partition, not per document."""
+    from kiri_ocr_spark.queries import q_token_shards
+
+    df = q_token_shards(spark, sf_tiny)
+    # correctness of the distributed prefix sum vs the naive global cumsum
+    from pyspark.sql import Window as W
+
+    naive = (
+        spark.read.parquet(f"{sf_tiny}/documents.parquet")
+        .selectExpr(
+            "doc_id",
+            "size(split(trim(regexp_replace(text, '\\\\s+', ' ')), ' ')) AS n_tokens",
+        )
+        .withColumn(
+            "shard_id",
+            F.floor(
+                (
+                    F.sum("n_tokens").over(
+                        W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+                    )
+                    - F.col("n_tokens")
+                )
+                / F.lit(4000)
+            ).cast("int"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, naive.collect()))
