@@ -1,0 +1,146 @@
+"""Unified detector facade — the reference's method switch re-expressed.
+
+/root/reference/kiri_ocr/detector/__init__.py:25-151 `TextDetector`:
+``method: str = 'craft'`` with automatic fallback to the legacy CV
+detector whenever the neural backend (weights / runtime) is unavailable.
+This engine mirrors that contract:
+
+- ``legacy``: the multi-method candidate path (CC ∪ MSER ∪ gradient,
+  reference filters, adaptive line grouping, padded-hull overlap merge).
+- ``craft`` / ``db``: the heatmap postprocessing paths of
+  ``operators/heatmap_post.py``. The neural forward pass is a pluggable
+  ``heatmap_fn`` — on a cluster with onnxruntime/torch, pass a wrapper
+  around the real model; in this sandbox the deterministic seams
+  (``fake_heatmaps`` / ``fake_prob_map``) stand in, or pass None to get
+  the reference's own missing-weights behavior: warn + fall back to
+  legacy (detector/__init__.py:115-151).
+
+Per-image kernel, embarrassingly parallel at table scope (wrap in
+mapInPandas like every other kernel here).
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Callable
+
+import numpy as np
+
+from .components import filter_components, relative_size_filter
+from .detect import (
+    binarize,
+    group_into_lines,
+    invert_if_dark,
+    line_boxes_from_groups,
+    reading_order,
+    reading_order_db,
+)
+from .finders import estimate_text_metrics, multi_method_candidates
+
+
+class TextDetector:
+    """method='craft'|'db'|'legacy'; falls back to 'legacy' when the
+    chosen neural backend has no ``heatmap_fn`` (the reference falls back
+    when weights/runtime are missing)."""
+
+    def __init__(
+        self,
+        method: str = "craft",
+        heatmap_fn: Callable | None = None,
+        **kwargs,
+    ):
+        if method not in ("craft", "db", "legacy"):
+            raise ValueError(f"unknown method {method!r}")
+        if method in ("craft", "db") and heatmap_fn is None:
+            warnings.warn(
+                f"{method} backend needs a heatmap_fn (neural forward pass); "
+                "falling back to legacy — mirror of the reference's "
+                "missing-weights fallback (detector/__init__.py:115-151)."
+            )
+            method = "legacy"
+        self.method = method
+        self.heatmap_fn = heatmap_fn
+        self.kwargs = kwargs
+
+    def detect_boxes(self, gray: np.ndarray) -> np.ndarray:
+        """(n, 5) x y w h conf line boxes, in the method's reading order
+        (W1 0.7/center-x for craft/legacy per the facade, W2 0.8/left-x
+        for db per the DB detector's own sorter)."""
+        gray = invert_if_dark(np.asarray(gray, dtype=np.uint8))
+        if self.method == "legacy":
+            boxes = self._legacy_boxes(gray)
+        elif self.method == "db":
+            boxes = self._db_boxes(gray)
+        else:
+            boxes = self._craft_boxes(gray)
+        if len(boxes) == 0 and self.method != "legacy":
+            # reference behavior: neural path found nothing -> legacy pass
+            boxes = self._legacy_boxes(gray)
+        if len(boxes) == 0:
+            return np.zeros((0, 5))
+        order_fn = reading_order_db if self.method == "db" else reading_order
+        return boxes[order_fn(boxes)]
+
+    def detect_lines(self, gray: np.ndarray) -> list[tuple[int, int, int, int]]:
+        """Reference `detect_lines` shape: bboxes only."""
+        return [
+            (int(b[0]), int(b[1]), int(b[2]), int(b[3]))
+            for b in self.detect_boxes(gray)
+        ]
+
+    # -- backends ----------------------------------------------------------
+
+    def _legacy_boxes(self, gray: np.ndarray) -> np.ndarray:
+        ink = binarize(gray)
+        kept = multi_method_candidates(gray, ink)
+        if len(kept):
+            kept = filter_components(kept, gray.shape[1], gray.shape[0])
+            kept = relative_size_filter(kept)
+        groups = group_into_lines(kept)
+        _, _, pad = estimate_text_metrics(kept)
+        return line_boxes_from_groups(
+            groups, gray.shape[1], gray.shape[0], padding=pad
+        )
+
+    def _db_boxes(self, gray: np.ndarray) -> np.ndarray:
+        from .heatmap_post import db_postprocess, resize_to_multiple_of_32
+
+        resized, (h, w), _ = resize_to_multiple_of_32(
+            gray, self.kwargs.get("max_side_len", 960)
+        )
+        prob_map = self.heatmap_fn(resized)
+        quads, scores = db_postprocess(
+            prob_map,
+            dest_width=w,
+            dest_height=h,
+            thresh=self.kwargs.get("det_db_thresh", 0.3),
+            box_thresh=self.kwargs.get("det_db_box_thresh", 0.5),
+            unclip_ratio=self.kwargs.get("det_db_unclip_ratio", 1.6),
+            min_size=self.kwargs.get("min_size", 3),
+        )
+        return _quads_to_boxes(quads, scores)
+
+    def _craft_boxes(self, gray: np.ndarray) -> np.ndarray:
+        from .heatmap_post import craft_boxes
+
+        textmap, linkmap = self.heatmap_fn(gray)
+        quads = craft_boxes(
+            textmap,
+            linkmap,
+            text_threshold=self.kwargs.get("text_threshold", 0.7),
+            link_threshold=self.kwargs.get("link_threshold", 0.4),
+            low_text=self.kwargs.get("low_text", 0.4),
+        )
+        return _quads_to_boxes(quads, [1.0] * len(quads))
+
+
+def _quads_to_boxes(quads: list[np.ndarray], scores: list[float]) -> np.ndarray:
+    """AABB + confidence per quad (the facade's bbox contract)."""
+    if not quads:
+        return np.zeros((0, 5))
+    out = []
+    for q, s in zip(quads, scores):
+        x0, y0 = q[:, 0].min(), q[:, 1].min()
+        x1, y1 = q[:, 0].max(), q[:, 1].max()
+        out.append((float(x0), float(y0), float(x1 - x0), float(y1 - y0), float(s)))
+    return np.array(out)

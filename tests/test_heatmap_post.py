@@ -134,3 +134,57 @@ def test_model_seam_heatmaps_are_deterministic():
     assert (fake_prob_map(ink) == pm).all()
     t, l = fake_heatmaps(ink)
     assert t.shape == ink.shape and l.shape == ink.shape
+
+
+def test_detector_facade_method_switch_and_fallback():
+    """Facade contract (detector/__init__.py:25-151): craft is the
+    default, a missing neural backend falls back to legacy with a
+    warning, and each method routes through its own postprocess path."""
+    import warnings as w
+
+    from kiri_ocr_spark.imaging.glyphs import render_page
+    from kiri_ocr_spark.operators.facade import TextDetector
+
+    page = render_page(["facade test line", "second line"])
+    # no heatmap_fn -> fallback to legacy (reference missing-weights path)
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        det = TextDetector(method="craft")
+    assert det.method == "legacy" and caught
+    legacy_boxes = det.detect_boxes(page)
+    assert len(legacy_boxes) == 2  # construction-known line count
+
+    # db with the deterministic seam
+    db = TextDetector(method="db", heatmap_fn=fake_prob_map_from_gray)
+    db_boxes = db.detect_boxes(page)
+    assert len(db_boxes) >= 1
+    assert all(b[4] > 0 for b in db_boxes)
+
+    # craft with the deterministic seam
+    craft = TextDetector(method="craft", heatmap_fn=fake_heatmaps_from_gray)
+    craft_lines = craft.detect_lines(page)
+    assert len(craft_lines) >= 1
+    assert all(len(t) == 4 for t in craft_lines)
+
+    # explicit legacy needs no heatmap and warns nothing
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        leg = TextDetector(method="legacy")
+    assert leg.method == "legacy" and not caught
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        TextDetector(method="yolo")
+
+
+def fake_prob_map_from_gray(gray):
+    from kiri_ocr_spark.operators.detect import binarize
+
+    return fake_prob_map(binarize(gray))
+
+
+def fake_heatmaps_from_gray(gray):
+    from kiri_ocr_spark.operators.detect import binarize
+
+    return fake_heatmaps(binarize(gray))
