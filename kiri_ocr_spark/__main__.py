@@ -37,7 +37,34 @@ def run_extract(args: argparse.Namespace) -> int:
         gray = decode_gray(f.read())
     gray = invert_if_dark(gray)
     ink = binarize(gray)
-    boxes = detect_lines(gray, ink=ink)
+    if args.method == "projection":
+        boxes = detect_lines(gray, ink=ink)
+    else:
+        # the reference facade's method switch (detector/__init__.py:34):
+        # craft/db fall back to legacy in-sandbox (no neural weights) with
+        # the facade's own warning. Facade boxes carry padding; the
+        # template recognizer needs tight ink-aligned crops, so each box
+        # is snapped to the ink bounds inside it before recognition.
+        from .operators.facade import TextDetector
+
+        boxes = TextDetector(method=args.method).detect_boxes(gray)
+        tight = []
+        for b in boxes:
+            x, y, w, h = (int(b[0]), int(b[1]), int(b[2]), int(b[3]))
+            window = ink[y : y + h, x : x + w]
+            ys, xs = np.nonzero(window)
+            if len(xs) == 0:
+                continue
+            tight.append(
+                (
+                    float(x + xs.min()),
+                    float(y + ys.min()),
+                    float(xs.max() - xs.min() + 1),
+                    float(ys.max() - ys.min() + 1),
+                    float(b[4]),
+                )
+            )
+        boxes = np.array(tight) if tight else np.zeros((0, 5))
     results = []
     for i, box in enumerate(boxes, start=1):
         text, conf = recognize_line(ink, box)
@@ -115,6 +142,14 @@ def main(argv: list[str] | None = None) -> int:
     ex = sub.add_parser("extract", help="OCR one image driver-side")
     ex.add_argument("image")
     ex.add_argument("--out-dir", default=".")
+    ex.add_argument(
+        "--method",
+        default="projection",
+        choices=["projection", "craft", "db", "legacy"],
+        help="detector: 'projection' (CC+projection-profile exactness "
+        "path, default) or the reference facade methods craft/db/legacy "
+        "(craft/db fall back to legacy without neural weights)",
+    )
     ex.add_argument("--json", action="store_true")
     ex.add_argument("--overlay", action="store_true")
     ex.add_argument("--html", action="store_true")

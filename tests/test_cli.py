@@ -59,3 +59,20 @@ def test_missing_subcommand_usage():
     r = run_cli()
     assert r.returncode != 0
     assert "required: cmd" in r.stderr
+
+
+def test_extract_method_switch(page_png, tmp_path):
+    """--method routes through the facade: legacy recognizes exactly, and
+    craft (no neural weights in-sandbox) falls back to legacy with the
+    facade warning — the reference's method contract."""
+    r = run_cli(
+        "extract", page_png, "--out-dir", str(tmp_path / "leg"), "--method", "legacy"
+    )
+    assert r.returncode == 0
+    assert r.stdout.strip().splitlines() == ["hello spark world", "second line"]
+    r2 = run_cli(
+        "extract", page_png, "--out-dir", str(tmp_path / "cr"), "--method", "craft"
+    )
+    assert r2.returncode == 0
+    assert r2.stdout.strip().splitlines() == ["hello spark world", "second line"]
+    assert "falling back to legacy" in (r2.stderr or "")
