@@ -570,9 +570,24 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bd"),
     ).select("doc_id", "bd.band_id", "bd.band_val")
-    kept = bands.withColumn(
-        "bn", F.count("*").over(Window.partitionBy("band_id", "band_val"))
-    ).filter(F.col("bn") <= _BUCKET_CAP)
+    # bucket cap via a tiny over-cap blacklist + broadcast anti-join
+    # instead of a count(*) window: the window shuffles AND sorts every
+    # band row (4 per doc — 4*10^12 rows sorted at target scale), while
+    # the blacklist agg is map-side combinable (each mapper emits band
+    # COUNTS, not rows) and only over-cap boilerplate buckets survive to
+    # broadcast. Locally this costs ~1s extra (bands materializes once,
+    # read by both the agg and the probe); at scale it's the difference
+    # between shuffling counts and sorting the corpus.
+    bands = bands.localCheckpoint(eager=False)
+    over_cap = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") > _BUCKET_CAP)
+        .select("band_id", "band_val")
+    )
+    kept = bands.join(
+        F.broadcast(over_cap), ["band_id", "band_val"], "left_anti"
+    )
     a, b = kept.alias("x"), kept.alias("y")
     return (
         a.join(
