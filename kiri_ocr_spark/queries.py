@@ -1909,6 +1909,49 @@ WHERE n_media > 0
 
 
 # --------------------------------------------------------------------------
+# 23c2. Pipeline health — the operational metric a 10^12-doc run watches:
+#       per-kind span counts plus the dead-letter rates (quarantined
+#       media payloads n_lines=-1, unknown kinds n_lines=-2, null text).
+#       On the construction fixture every dead-letter counter is provably
+#       zero — which is exactly what makes it oracle-checkable AND what a
+#       production alert would assert per wave.
+# --------------------------------------------------------------------------
+
+
+def q_pipeline_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .fixtures import build_fixture as _bf
+    from .pipeline import extract_span_rows
+
+    docs, media = _bf(spark, sf_dir)
+    rows = extract_span_rows(docs, media, broadcast_media=True)
+    return rows.groupBy("kind").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum((F.col("n_lines") == -1).cast("int")).cast("long").alias("n_quarantined"),
+        F.sum((F.col("n_lines") == -2).cast("int")).cast("long").alias("n_unknown_kind"),
+        F.sum(F.col("text").isNull().cast("int")).cast("long").alias("n_null_text"),
+        F.round(F.avg("conf"), 6).alias("avg_conf"),
+    )
+
+
+_PIPELINE_HEALTH_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         1 + doc_id % 4 AS n_text,
+         doc_id % 3 + CASE WHEN doc_id % 97 = 0 THEN 16 ELSE 0 END AS n_media
+  FROM documents
+)
+SELECT 'text' AS kind, CAST(sum(n_text) AS BIGINT) AS n_spans,
+       CAST(0 AS BIGINT) AS n_quarantined, CAST(0 AS BIGINT) AS n_unknown_kind,
+       CAST(0 AS BIGINT) AS n_null_text, 1.0 AS avg_conf
+FROM d
+UNION ALL
+SELECT 'media' AS kind, CAST(sum(n_media) AS BIGINT) AS n_spans,
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 1.0
+FROM d
+"""
+
+
+# --------------------------------------------------------------------------
 # 23d. Stratified sampling — training-data curation: per-language quotas
 #      via a deterministic md5-derived hash bucket (the distributed
 #      equivalent of "sample 40% of lang A, 10% of lang B" that stays
@@ -2119,6 +2162,7 @@ def query_registry() -> dict[str, QueryFn]:
         "word_segmentation": q_word_segmentation,
         "finder_candidates": q_finder_candidates,
         "model_decode": q_model_decode,
+        "pipeline_health": q_pipeline_health,
         "sample_stratified": q_sample_stratified,
         "token_shards": q_token_shards,
         "event_hourly": q_event_hourly,
@@ -2163,6 +2207,7 @@ def oracle_registry() -> dict[str, str]:
         "word_segmentation": _WORD_SEG_SQL.strip(),
         "finder_candidates": _FINDER_SQL.strip(),
         "model_decode": _MODEL_DECODE_SQL.strip(),
+        "pipeline_health": _PIPELINE_HEALTH_SQL.strip(),
         "sample_stratified": _sample_stratified_sql().strip(),
         "token_shards": _TOKEN_SHARDS_SQL.strip(),
         "event_hourly": _EVENT_HOURLY_SQL.strip(),
