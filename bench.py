@@ -53,7 +53,9 @@ def salt_balance(docs, salt_buckets: int = 64, nparts: int = 64) -> dict:
     )
     salted = spans.withColumn(
         "salt",
-        F.pmod(F.xxhash64("doc_id", "s.media_ref"), F.lit(salt_buckets)).cast("int"),
+        F.pmod(
+            F.xxhash64("doc_id", "s.media_ref", "s.offset"), F.lit(salt_buckets)
+        ).cast("int"),
     ).repartition(nparts, "salt", "doc_id")
     counts = [
         r.n

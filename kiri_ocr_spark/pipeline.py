@@ -161,9 +161,14 @@ def extract_span_rows(
     # bytes — per-row kernel cost dwarfs per-row size, so AQE's byte-based
     # coalescing would starve it (it can't see CPU cost). repartition(n, …)
     # is REPARTITION_BY_NUM: AQE leaves the partition count alone.
+    # offset joins the salt hash so even a document repeating the SAME
+    # image N times spreads over the buckets — (doc_id, media_ref) alone
+    # maps identical-ref spans to one bucket, a worst-case hot partition
     salted = media_rows.withColumn(
         "salt",
-        F.pmod(F.xxhash64("doc_id", "media_ref"), F.lit(salt_buckets)).cast("int"),
+        F.pmod(
+            F.xxhash64("doc_id", "media_ref", "offset"), F.lit(salt_buckets)
+        ).cast("int"),
     )
     # 2x the shuffle partitioning for the OCR stage: tasks are CPU-heavy
     # (~2ms/image python kernel), so finer granularity smooths the last

@@ -256,3 +256,41 @@ def test_no_silent_span_loss(spark, sf_tiny):
     rows_sj = extract_span_rows(docs2, media, broadcast_media=False)
     assert rows_sj.count() == rows.count()
     assert rows_sj.filter("n_lines = -1").count() == 1
+
+
+def test_repeated_media_ref_spreads_and_extracts(spark, sf_tiny):
+    """Worst-case skew: ONE document referencing the SAME image 192 times.
+    The salt must spread those spans over many buckets (offset is part of
+    the hash — (doc_id, media_ref) alone would put them all in one), and
+    the many-to-one payload join must produce one recognized row per
+    span."""
+    from pyspark.sql import functions as F
+
+    from kiri_ocr_spark.fixtures import build_fixture
+    from kiri_ocr_spark.pipeline import extract_span_rows
+
+    docs, media = build_fixture(spark, sf_tiny)
+    ref = media.first().media_ref
+    hot = spark.createDataFrame(
+        [(999_999, [("media", None, ref, i) for i in range(192)])],
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    rows = extract_span_rows(hot, media, broadcast_media=True)
+    got = rows.filter("doc_id = 999999")
+    assert got.count() == 192
+    texts = got.select("text").distinct().collect()
+    assert len(texts) == 1 and texts[0].text  # same image -> same text
+    # the salt spreads the hot doc: many distinct buckets, no mega-bucket
+    salts = (
+        hot.select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            F.pmod(
+                F.xxhash64("doc_id", "s.media_ref", "s.offset"), F.lit(64)
+            ).alias("salt")
+        )
+        .groupBy("salt")
+        .count()
+    )
+    assert salts.count() > 32  # spread over most of the 64 buckets
+    assert salts.agg(F.max("count")).first()[0] <= 12
