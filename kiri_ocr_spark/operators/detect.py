@@ -239,12 +239,13 @@ def line_bands(ink: np.ndarray, min_gap: int = 1) -> list[tuple[int, int]]:
 
 
 def detect_lines(gray: np.ndarray, ink: np.ndarray | None = None) -> np.ndarray:
-    """Media-span line detector: invert-if-dark -> Otsu -> CC +
+    """Media-span line detector: invert-if-dark -> Otsu ->
     projection-profile bands -> per-band bbox, top-to-bottom order.
 
-    Returns (n_lines, 5): x, y, w, h, confidence. Confidence is the
-    fraction of the band's components that pass a minimal sanity filter —
-    1.0 on clean synthetic pages. Pass a precomputed ``ink`` mask to skip
+    Returns (n_lines, 5): x, y, w, h, confidence. Confidence is 1.0 when
+    the band contains ink (always, by band construction) — the component
+    existence check this encodes needs no CC pass, because any ink pixel
+    is itself a component. Pass a precomputed ``ink`` mask to skip
     re-binarization (hot-path callers share one Otsu pass).
     """
     if ink is None:

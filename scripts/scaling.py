@@ -95,14 +95,25 @@ spark.stop()
 """
 
 
-def run_stage_level(cpus: int, fixture_dir: str, mult: int) -> dict:
-    code = _STAGE_CODE.format(repo=REPO, cpus=cpus, fixture=fixture_dir, mult=mult)
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO,
-        check=True,
-    )
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("STAGE ")][-1]
-    return json.loads(line[6:])
+def run_stage_level(cpus: int, fixture_dir: str, mult: int, repeats: int = 2) -> dict:
+    """min over ``repeats`` fresh JVMs (each already min-of-3 inside):
+    the shared host's noise is bursty across MINUTES, so a single JVM's
+    min-of-3 can still land wholly inside a contended window — separate
+    JVMs spaced by their own runtime sample different windows."""
+    best = None
+    for _ in range(repeats):
+        code = _STAGE_CODE.format(
+            repo=REPO, cpus=cpus, fixture=fixture_dir, mult=mult
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            cwd=REPO, check=True,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("STAGE ")][-1]
+        r = json.loads(line[6:])
+        if best is None or r["wall"] < best["wall"]:
+            best = r
+    return best
 
 
 def run_level(cpus: int, sf_dir: str, fixture_dir: str) -> dict:
@@ -138,8 +149,9 @@ def main() -> None:
     )
 
     hw = hardware_capacity(n)
-    stage_low = run_stage_level(n, fixture_dir, mult)
-    stage_high = run_stage_level(4 * n, fixture_dir, mult)
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+    stage_low = run_stage_level(n, fixture_dir, mult, repeats)
+    stage_high = run_stage_level(4 * n, fixture_dir, mult, repeats)
     low = run_level(n, sf_dir, fixture_dir)
     high = run_level(4 * n, sf_dir, fixture_dir)
 
@@ -243,7 +255,9 @@ those amortize to noise (they are a fixed cost per job, not per byte),
 so the stage-level number above is the scale-relevant one.
 
 Caveats recorded honestly: the host is shared — wall-clock noise between
-identical runs reaches ~40%; all timings are min-of-2/3, and the
+identical runs reaches ~40%; stage timings are min-of-3 inside each of
+{repeats} fresh JVMs per level (noise is bursty across minutes, so
+separate JVMs sample different windows), and the
 hardware calibration is re-measured on every scaling run.
 
 Reproduce: `python scripts/scaling.py` (env `SPARK_GRAFT_SCALE_N`,
