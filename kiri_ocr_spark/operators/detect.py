@@ -92,8 +92,6 @@ def clahe(gray: np.ndarray, clip_limit: float = 2.0, tiles: int = 8) -> np.ndarr
     else:
         fx = np.zeros(w)
     g = gray.astype(int)
-    rows = np.arange(h)[:, None]
-    cols = np.arange(w)[None, :]
     yi2 = np.minimum(yi + 1, ty - 1)
     xi2 = np.minimum(xi + 1, tx - 1)
     v00 = maps[yi[:, None], xi[None, :], g]
@@ -108,7 +106,6 @@ def clahe(gray: np.ndarray, clip_limit: float = 2.0, tiles: int = 8) -> np.ndarr
         + v10 * fy2 * (1 - fx2)
         + v11 * fy2 * fx2
     )
-    _ = rows, cols
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
