@@ -39,6 +39,8 @@ HEADLINE_QUERIES = [
     "lineitem_agg",
     "event_hourly",
     "word_segmentation",
+    "sample_stratified",
+    "token_shards",
 ]
 
 
