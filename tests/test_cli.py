@@ -76,3 +76,31 @@ def test_extract_method_switch(page_png, tmp_path):
     assert r2.returncode == 0
     assert r2.stdout.strip().splitlines() == ["hello spark world", "second line"]
     assert "falling back to legacy" in (r2.stderr or "")
+
+
+def test_batch_binaryfile_scan_ocr(tmp_path):
+    """S1 surface: spark.read.format('binaryFile') over a PNG directory ->
+    the same Arrow-batched OCR kernel -> parquet of (path, text, conf)."""
+    png_dir = tmp_path / "pngs"
+    png_dir.mkdir()
+    pages = {
+        "a.png": "alpha beta",
+        "b.png": "gamma delta line",
+        "c.png": "zzz",
+    }
+    for name, text in pages.items():
+        (png_dir / name).write_bytes(encode_gray(render_page([text])))
+    out = str(tmp_path / "out_parquet")
+    r = run_cli("batch", str(png_dir), "--out", out)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["images"] == 3
+
+    import duckdb
+
+    got = {
+        row[0].rsplit("/", 1)[-1]: row[1]
+        for row in duckdb.connect()
+        .execute(f"SELECT media_ref, text FROM '{out}/*.parquet'")
+        .fetchall()
+    }
+    assert got == pages
