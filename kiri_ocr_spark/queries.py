@@ -710,7 +710,9 @@ def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row.n), int(row.h)
 
 
-def _cluster_pairs(pairs: DataFrame) -> DataFrame:
+def _cluster_labels(pairs: DataFrame) -> DataFrame:
+    """Connected-component labels (node, lbl=component min id) over an
+    (a, b) pair graph via large-star/small-star contraction."""
     # the pairs pipeline (LSH + optional verification join) is expensive
     # and referenced below for both nodes and edges: materialize it once
     pairs = pairs.localCheckpoint()
@@ -749,7 +751,7 @@ def _cluster_pairs(pairs: DataFrame) -> DataFrame:
     global _LAST_CC_ROUNDS
     _LAST_CC_ROUNDS = rounds
     # converged: a star forest, every edge is (node -> component-min root)
-    labels = (
+    return (
         nodes.join(
             edges.select(F.col("a").alias("node"), F.col("b").alias("root")),
             "node",
@@ -757,6 +759,10 @@ def _cluster_pairs(pairs: DataFrame) -> DataFrame:
         )
         .select("node", F.coalesce("root", "node").alias("lbl"))
     )
+
+
+def _cluster_pairs(pairs: DataFrame) -> DataFrame:
+    labels = _cluster_labels(pairs)
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
     return (
         sizes.groupBy("cluster_size")
@@ -786,6 +792,69 @@ WITH RECURSIVE pairs AS (
 SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
        CAST(count(*) AS BIGINT) AS n_clusters
 FROM sizes GROUP BY cluster_size
+"""
+
+
+# --------------------------------------------------------------------------
+# 13b2. Dedup keep-one: the production dedup's FINAL action — one canonical
+#       document (min doc_id) survives per verified near-dup cluster, all
+#       other members drop, non-clustered docs pass through. Output is the
+#       corpus-level accounting a curation run reports per wave. The drop
+#       set is a broadcast anti-join (cluster members are a tiny fraction
+#       of the corpus at any real dup rate).
+# --------------------------------------------------------------------------
+
+
+def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _near_dup_corpus(spark, sf_dir).select("doc_id")
+    labels = _cluster_labels(q_minhash_verified(spark, sf_dir).select("a", "b"))
+    dropped = labels.filter(F.col("node") != F.col("lbl")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = corpus.join(F.broadcast(dropped), "doc_id", "left_anti")
+    n_total = corpus.agg(F.count("*").cast("long").alias("n_docs"))
+    n_kept = kept.agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.min("doc_id").alias("first_kept"),
+        F.max("doc_id").alias("last_kept"),
+    )
+    return n_total.crossJoin(n_kept).select(
+        "n_docs",
+        "n_kept",
+        (F.col("n_docs") - F.col("n_kept")).cast("long").alias("n_dropped"),
+        "first_kept",
+        "last_kept",
+    )
+
+
+def _dedup_keep_one_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT a, b FROM ({_minhash_verified_sql().strip()}) v
+), corpus AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id FROM documents WHERE doc_id % 5 = 0
+), edges AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS node FROM edges
+), reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+), labels AS (
+  SELECT node, min(lbl) AS lbl FROM reach GROUP BY node
+), dropped AS (
+  SELECT node AS doc_id FROM labels WHERE node <> lbl
+), kept AS (
+  SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+)
+SELECT CAST((SELECT count(*) FROM corpus) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST((SELECT count(*) FROM corpus) - count(*) AS BIGINT) AS n_dropped,
+       min(doc_id) AS first_kept, max(doc_id) AS last_kept
+FROM kept
 """
 
 
@@ -2145,6 +2214,7 @@ def query_registry() -> dict[str, QueryFn]:
         "minhash_verified": q_minhash_verified,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_verified": q_dedup_clusters_verified,
+        "dedup_keep_one": q_dedup_keep_one,
         "simhash": q_simhash,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -2190,6 +2260,7 @@ def oracle_registry() -> dict[str, str]:
         "dedup_clusters_verified": _dedup_clusters_sql(
             "SELECT a, b FROM (" + _minhash_verified_sql() + ") v"
         ).strip(),
+        "dedup_keep_one": _dedup_keep_one_sql().strip(),
         "simhash": _simhash_sql().strip(),
         "token_stats": _TOKEN_STATS_SQL.strip(),
         "quality_score": _quality_sql().strip(),
