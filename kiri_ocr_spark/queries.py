@@ -1515,42 +1515,52 @@ FROM hit
 # --------------------------------------------------------------------------
 
 _NEAR_DUP_SIGN_BITS = 16
+_NEAR_DUP_BANDS = 2  # OR-amplification: dims 1-16 and 17-32
 
 
 def q_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TWO independent 16-plane sign bands over disjoint dims, candidates =
+    # union of the per-band equi-joins (banded LSH OR-amplification): a
+    # true near-dup that flips one sign on a near-zero dim in band 0 is
+    # still caught by band 1 — a single band would silently lose it.
+    # Identical vectors (the planted dups) match every band by definition.
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     dup = e.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "v"
     )
-    sig = " + ".join(
-        f"if(element_at(v, {i + 1}) > 0, {1 << i}, 0)"
-        for i in range(_NEAR_DUP_SIGN_BITS)
+    c = e.unionByName(dup).withColumn(
+        "nrm",
+        F.expr(
+            "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y),"
+            " 0D, (a, x) -> a + x))"
+        ),
     )
-    c = (
-        e.unionByName(dup)
-        .withColumn(
-            "nrm",
-            F.expr(
-                "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y),"
-                " 0D, (a, x) -> a + x))"
-            ),
+    for band in range(_NEAR_DUP_BANDS):
+        off = band * _NEAR_DUP_SIGN_BITS
+        sig = " + ".join(
+            f"if(element_at(v, {off + i + 1}) > 0, {1 << i}, 0)"
+            for i in range(_NEAR_DUP_SIGN_BITS)
         )
-        .withColumn("bucket", F.expr(f"cast({sig} as int)"))
-    )
+        c = c.withColumn(f"bucket{band}", F.expr(f"cast({sig} as int)"))
+    c = c.localCheckpoint(eager=False)  # one corpus pass feeds both bands
     a = c.alias("a")
     b = c.select(
         F.col("vec_id").alias("vec_id_b"),
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
-        F.col("bucket").alias("bucket_b"),
+        *[F.col(f"bucket{k}").alias(f"bucket{k}_b") for k in range(_NEAR_DUP_BANDS)],
     ).alias("b")
-    pairs = a.join(
-        b,
-        (F.col("bucket") == F.col("bucket_b"))
-        & (F.col("vec_id") < F.col("vec_id_b")),
-    )
+    cand = None
+    for band in range(_NEAR_DUP_BANDS):
+        band_pairs = a.join(
+            b,
+            (F.col(f"bucket{band}") == F.col(f"bucket{band}_b"))
+            & (F.col("vec_id") < F.col("vec_id_b")),
+        ).select("vec_id", "vec_id_b", "v", "vb", "nrm", "nb")
+        cand = band_pairs if cand is None else cand.unionByName(band_pairs)
+    pairs = cand.dropDuplicates(["vec_id", "vec_id_b"])
     sims = pairs.withColumn(
         "sim",
         F.round(
