@@ -192,3 +192,25 @@ def test_token_shards_has_no_global_window_sort(spark, sf_tiny):
         )
     )
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_dedup_stage_cache_reuses_materialized_pairs(spark, sf_tiny):
+    """The verified-pairs stage must materialize once per (app, sf) and be
+    reused by clustering and keep-one — and produce identical results to
+    a fresh computation."""
+    from kiri_ocr_spark import queries as Q
+
+    key = (spark.sparkContext.applicationId, sf_tiny, "verified_pairs")
+    Q._DEDUP_STAGE_CACHE.pop(key, None)
+    r1 = sorted(map(tuple, Q.q_dedup_clusters_verified(spark, sf_tiny).collect()))
+    assert key in Q._DEDUP_STAGE_CACHE
+    staged = Q._DEDUP_STAGE_CACHE[key]
+    r2 = sorted(map(tuple, Q.q_dedup_clusters_verified(spark, sf_tiny).collect()))
+    assert Q._DEDUP_STAGE_CACHE[key] is staged  # reused, not rebuilt
+    assert r1 == r2
+    fresh = sorted(
+        map(tuple, Q._cluster_pairs(
+            Q.q_minhash_verified(spark, sf_tiny).select("a", "b")
+        ).collect())
+    )
+    assert fresh == r1
