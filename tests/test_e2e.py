@@ -294,3 +294,19 @@ def test_repeated_media_ref_spreads_and_extracts(spark, sf_tiny):
     )
     assert salts.count() > 32  # spread over most of the 64 buckets
     assert salts.agg(F.max("count")).first()[0] <= 12
+
+
+def test_empty_documents_input_yields_empty_output(spark, sf_tiny):
+    """Zero-doc input (an empty table or fully-filtered scan) must flow
+    through the whole pipeline — routing, salt, join, kernel, assembly —
+    and produce an empty result, not a crash."""
+    from kiri_ocr_spark.fixtures import build_fixture
+    from kiri_ocr_spark.pipeline import extract_flat
+
+    docs, media = build_fixture(spark, sf_tiny)
+    empty = docs.filter("doc_id < 0")
+    out = extract_flat(empty, media, broadcast_media=True)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "ord", "kind", "text", "media_ref"]
+    # shuffle-join path too
+    assert extract_flat(empty, media, broadcast_media=False).count() == 0
