@@ -99,11 +99,13 @@ def min_area_rect(points: np.ndarray) -> tuple[tuple[float, float], tuple[float,
             best = (area, theta, x0, y0, x1, y1)
     _, theta, x0, y0, x1, y1 = best
     c, s = np.cos(theta), np.sin(theta)
-    # rotate the rect center back to image coordinates
+    # the forward map above is p_rot = R(-theta) @ p_img; invert it to put
+    # the rect center back in image coordinates, and report +theta so that
+    # box_points (which rotates by +angle) round-trips the corners exactly
     cx_r, cy_r = (x0 + x1) / 2.0, (y0 + y1) / 2.0
-    cx = cx_r * c + cy_r * s
-    cy = -cx_r * s + cy_r * c
-    return ((float(cx), float(cy)), (float(x1 - x0), float(y1 - y0)), float(np.degrees(-theta)))
+    cx = cx_r * c - cy_r * s
+    cy = cx_r * s + cy_r * c
+    return ((float(cx), float(cy)), (float(x1 - x0), float(y1 - y0)), float(np.degrees(theta)))
 
 
 def box_points(rect) -> np.ndarray:
@@ -291,7 +293,9 @@ def db_postprocess(
 
 
 def _dilate_square(mask: np.ndarray, k: int) -> np.ndarray:
-    """(k x k) square dilation via row/col max-shift folds."""
+    """(k x k) square dilation, separable: r vertical max-shift passes then
+    r horizontal passes compose to the exact square structuring element
+    (a single fused cross pass would grow an L1 diamond and miss corners)."""
     if k <= 1:
         return mask
     r = k // 2
@@ -300,6 +304,9 @@ def _dilate_square(mask: np.ndarray, k: int) -> np.ndarray:
         grown = out.copy()
         grown[1:, :] |= out[:-1, :]
         grown[:-1, :] |= out[1:, :]
+        out = grown
+    for _ in range(r):
+        grown = out.copy()
         grown[:, 1:] |= out[:, :-1]
         grown[:, :-1] |= out[:, 1:]
         out = grown

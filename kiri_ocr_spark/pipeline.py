@@ -135,9 +135,11 @@ def extract_span_rows(
     # unrecoverable): they dead-letter inline with text carried through,
     # conf 0 and an n_lines = -2 marker, folded into the text branch's
     # predicate so the robustness guard costs zero extra scans.
-    is_text = F.col("kind") == "text"
+    # eqNullSafe: a NULL kind must land HERE — `kind != 'media'` evaluates
+    # to NULL for NULL kind and both branch filters would drop the span.
+    is_text = F.col("kind").eqNullSafe("text")
     text_rows = (
-        spans.filter(F.col("kind") != "media")
+        spans.filter(~F.col("kind").eqNullSafe("media"))
         .select(
             "doc_id",
             "offset",

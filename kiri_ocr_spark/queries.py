@@ -822,22 +822,28 @@ FROM sizes GROUP BY cluster_size
 #       document (min doc_id) survives per verified near-dup cluster, all
 #       other members drop, non-clustered docs pass through. Output is the
 #       corpus-level accounting a curation run reports per wave. The drop
-#       set is a broadcast anti-join (cluster members are a tiny fraction
-#       of the corpus at any real dup rate).
+#       set rides a PLAIN shuffle anti-join: web-scale corpora dedup at
+#       30-80%, making the drop set corpus-scale — a forced broadcast would
+#       OOM the driver at 10^12 docs. AQE downgrades the shuffle to a
+#       broadcast join at runtime whenever the drop side is genuinely small,
+#       so the fixture-scale path loses nothing.
 # --------------------------------------------------------------------------
 
 
-def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _near_dup_corpus(spark, sf_dir).select("doc_id")
-    verified = _staged(
-        spark, sf_dir, "verified_pairs",
-        lambda: q_minhash_verified(spark, sf_dir),
-    )
-    labels = _cluster_labels(verified.select("a", "b"))
+def keep_one_survivors(corpus: DataFrame, verified_pairs: DataFrame) -> DataFrame:
+    """Survivor set: min-id doc per verified cluster + all unclustered docs.
+    `corpus` is (doc_id, ...), `verified_pairs` is (a, b) verified edges."""
+    labels = _cluster_labels(verified_pairs.select("a", "b"))
     dropped = labels.filter(F.col("node") != F.col("lbl")).select(
         F.col("node").alias("doc_id")
     )
-    kept = corpus.join(F.broadcast(dropped), "doc_id", "left_anti")
+    # no broadcast hint — see the section comment; tests/test_plans.py
+    # asserts the logical plan carries no mandatory broadcast on this join
+    return corpus.join(dropped, "doc_id", "left_anti")
+
+
+def keep_one_accounting(corpus: DataFrame, verified_pairs: DataFrame) -> DataFrame:
+    kept = keep_one_survivors(corpus, verified_pairs)
     n_total = corpus.agg(F.count("*").cast("long").alias("n_docs"))
     n_kept = kept.agg(
         F.count("*").cast("long").alias("n_kept"),
@@ -851,6 +857,15 @@ def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_kept",
         "last_kept",
     )
+
+
+def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _near_dup_corpus(spark, sf_dir).select("doc_id")
+    verified = _staged(
+        spark, sf_dir, "verified_pairs",
+        lambda: q_minhash_verified(spark, sf_dir),
+    )
+    return keep_one_accounting(corpus, verified)
 
 
 def _dedup_keep_one_sql() -> str:

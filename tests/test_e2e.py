@@ -236,6 +236,9 @@ def test_no_silent_span_loss(spark, sf_tiny):
               when doc_id = 3 and s.offset = 0 then
                 named_struct('kind', 'table', 'text', s.text,
                              'media_ref', s.media_ref, 'offset', s.offset)
+              when doc_id = 4 and s.offset = 0 then
+                named_struct('kind', cast(null as string), 'text', s.text,
+                             'media_ref', s.media_ref, 'offset', s.offset)
               when doc_id = 1 and s.kind = 'media' and s.offset = 1 then
                 named_struct('kind', 'media', 'text', s.text,
                              'media_ref', 'img_does_not_exist',
@@ -246,8 +249,13 @@ def test_no_silent_span_loss(spark, sf_tiny):
     )
     rows = extract_span_rows(docs2, media, broadcast_media=True)
     dead = rows.filter("n_lines = -2").collect()
-    assert len(dead) == 1 and dead[0].kind == "table" and dead[0].doc_id == 3
-    assert dead[0].text is not None and dead[0].conf == 0.0
+    # a NULL kind must dead-letter too — `kind != 'media'` is NULL for
+    # NULL kind and would silently drop the span without eqNullSafe
+    assert len(dead) == 2
+    by_doc = {r.doc_id: r for r in dead}
+    assert by_doc[3].kind == "table" and by_doc[3].text is not None
+    assert by_doc[4].kind is None and by_doc[4].conf == 0.0
+    assert all(r.conf == 0.0 for r in dead)
     missing = rows.filter("n_lines = -1").collect()
     assert len(missing) == 1 and missing[0].media_ref == "img_does_not_exist"
     # total span count identical to the untouched pipeline — nothing lost

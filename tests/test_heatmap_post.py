@@ -30,12 +30,53 @@ def test_min_area_rect_axis_aligned_and_rotated():
     t = np.radians(30)
     base = np.array([[0, 0], [20, 0], [20, 6], [0, 6]], float)
     rot = base @ np.array([[np.cos(t), np.sin(t)], [-np.sin(t), np.cos(t)]])
-    _, (w2, h2), _ = min_area_rect(rot)
+    rect = min_area_rect(rot)
+    (cx2, cy2), (w2, h2), _ = rect
     assert sorted([round(w2, 6), round(h2, 6)]) == [6.0, 20.0]
+    # the center must be the centroid of the rotated rect, in IMAGE coords
+    assert np.allclose([cx2, cy2], rot.mean(axis=0), atol=1e-9)
+    # box_points(min_area_rect(corners)) must reproduce the input corners
+    rt = box_points(rect)
+    assert np.allclose(
+        np.array(sorted(map(tuple, rt))), np.array(sorted(map(tuple, rot))), atol=1e-6
+    )
     box, sside = mini_box(rot)
     assert abs(sside - 6.0) < 1e-6
-    # canonical order: starts at top-left-ish, 4 corners
+    # canonical order: starts at top-left-ish, 4 corners — at the true positions
     assert box.shape == (4, 2)
+    assert np.allclose(
+        np.array(sorted(map(tuple, box))), np.array(sorted(map(tuple, rot))), atol=1e-6
+    )
+
+
+def test_min_area_rect_offset_rotated_center():
+    """Regression for the advisor's round-2 finding: a 20x8 rect rotated 30deg
+    and centered far from the origin must come back with its own center, not
+    a double-rotated one."""
+    t = np.radians(30)
+    base = np.array([[-10, -4], [10, -4], [10, 4], [-10, 4]], float)
+    center = np.array([56.7, 58.5])
+    rot = base @ np.array([[np.cos(t), np.sin(t)], [-np.sin(t), np.cos(t)]]) + center
+    (cx, cy), (w, h), _ = min_area_rect(rot)
+    assert np.allclose([cx, cy], center, atol=1e-9)
+    assert sorted([round(w, 6), round(h, 6)]) == [8.0, 20.0]
+    assert np.allclose(
+        np.array(sorted(map(tuple, box_points(min_area_rect(rot))))),
+        np.array(sorted(map(tuple, rot))),
+        atol=1e-6,
+    )
+
+
+def test_dilate_square_fills_corners():
+    """The k x k dilation must reach the square's corners (Linf ball), not
+    just the L1 diamond a naive iterated-cross dilation grows."""
+    from kiri_ocr_spark.operators.heatmap_post import _dilate_square
+
+    m = np.zeros((9, 9), dtype=bool)
+    m[4, 4] = True
+    out = _dilate_square(m, 5)  # radius 2
+    assert out[2, 2] and out[2, 6] and out[6, 2] and out[6, 6]  # corners
+    assert out[2:7, 2:7].all() and out.sum() == 25  # exactly the 5x5 square
 
 
 def test_box_points_roundtrip():
