@@ -126,7 +126,7 @@ def run_batch(args: argparse.Namespace) -> int:
         _ocr_batches(None),
         schema=(
             "doc_id long, offset int, kind string, text string, "
-            "media_ref string, conf double, n_lines int, batch_ms long"
+            "media_ref string, conf double, n_lines int, kernel_us long"
         ),
     ).select("media_ref", "text", "conf", "n_lines")
     ocr.write.mode("overwrite").parquet(args.out)

@@ -12,7 +12,10 @@ Design (FIXTURES.md §5 schema):
 - after the output for the pending partitions lands, one lineage+metrics
   row per partition is appended to the checkpoint table
   (run_id, part_id, docs_done, spans_done, media_spans, mean_conf,
-  wall_ms, committed_at);
+  kernel_ms, wave_wall_ms, committed_at) — kernel_ms is the TRUE
+  per-partition OCR kernel time (sum of per-row batch-time shares the
+  kernel stamps), wave_wall_ms the wave-level wall clock shared by every
+  row of the wave;
 - resume = left_anti join of the input against committed part_ids (J7):
   finished partitions are never read past the scan filter, let alone
   recomputed. A crash between output-write and checkpoint-append only
@@ -35,7 +38,8 @@ from ..pipeline import assemble_documents, extract_span_rows
 
 CHECKPOINT_SCHEMA = (
     "run_id string, part_id int, docs_done long, spans_done long, "
-    "media_spans long, mean_conf double, wall_ms long, committed_at timestamp"
+    "media_spans long, mean_conf double, kernel_ms long, wave_wall_ms long, "
+    "committed_at timestamp"
 )
 
 
@@ -104,12 +108,18 @@ def _run_pending(
     todo = docs.join(F.broadcast(done), "part_id", "left_anti")
 
     t0 = time.monotonic()
-    rows = extract_span_rows(todo.drop("part_id"), media, **extract_kwargs)
+    rows = extract_span_rows(
+        todo.drop("part_id"), media, keep_kernel_us=True, **extract_kwargs
+    )
     rows = rows.withColumn(
         "part_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int")
     )
+    # both the output write and the metrics agg consume `rows`: persist so
+    # the OCR kernel runs ONCE per wave, not twice (and the committed
+    # lineage metrics describe exactly the rows that were written)
+    rows = rows.persist()
     assembled = (
-        assemble_documents(rows.drop("part_id", "conf", "n_lines"))
+        assemble_documents(rows.drop("part_id", "conf", "n_lines", "kernel_us"))
         .withColumn(
             "part_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int")
         )
@@ -127,10 +137,15 @@ def _run_pending(
                 "media_spans"
             ),
             F.avg("conf").alias("mean_conf"),
+            # A15: honest per-partition kernel time — the sum of the
+            # per-row batch-time shares the OCR kernel stamps, which
+            # differs per partition (unlike a wave-level wall stamp)
+            (F.sum("kernel_us") / 1000).cast("long").alias("kernel_ms"),
         )
         .withColumn("run_id", F.lit(run_id))
         .withColumn(
-            "wall_ms", F.lit(int((time.monotonic() - t0) * 1000)).cast("long")
+            "wave_wall_ms",
+            F.lit(int((time.monotonic() - t0) * 1000)).cast("long"),
         )
         .withColumn("committed_at", F.current_timestamp())
         .select(
@@ -140,11 +155,13 @@ def _run_pending(
             "spans_done",
             "media_spans",
             "mean_conf",
-            "wall_ms",
+            "kernel_ms",
+            "wave_wall_ms",
             "committed_at",
         )
     )
     pdf = metrics.toPandas()  # small: one row per partition
+    rows.unpersist()
     if len(pdf):
         spark.createDataFrame(pdf, CHECKPOINT_SCHEMA).coalesce(1).write.mode(
             "append"

@@ -37,7 +37,7 @@ from .functions.text import normalize_text
 
 OCR_SCHEMA = (
     "doc_id long, offset int, kind string, text string, media_ref string, "
-    "conf double, n_lines int, batch_ms long"
+    "conf double, n_lines int, kernel_us long"
 )
 
 SPAN_SCHEMA = (
@@ -98,7 +98,10 @@ def _ocr_batches(broadcast):
                 texts.append(text)
                 confs.append(conf)
                 nlines.append(n)
-            ms = int((time.monotonic() - t0) * 1000)
+            # per-row share of this batch's kernel time (µs): summing the
+            # column over any row grouping (e.g. checkpoint part_id) yields
+            # that group's true kernel wall, not a wave-level stamp
+            us_share = int((time.monotonic() - t0) * 1_000_000 / max(len(pdf), 1))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -108,7 +111,7 @@ def _ocr_batches(broadcast):
                     "media_ref": pdf["media_ref"],
                     "conf": confs,
                     "n_lines": nlines,
-                    "batch_ms": ms,
+                    "kernel_us": us_share,
                 }
             )
 
@@ -122,6 +125,7 @@ def extract_span_rows(
     salt_buckets: int = 64,
     media_partitions: int | None = None,
     broadcast_media: bool = False,
+    keep_kernel_us: bool = False,
 ) -> DataFrame:
     """Span-level extraction: one row per span with recognized/normalized
     text, confidence and lineage columns. No assembly shuffle yet."""
@@ -200,7 +204,11 @@ def extract_span_rows(
     from .imaging.glyphs import template_index
 
     bc = spark.sparkContext.broadcast(template_index())
-    ocr = joined.mapInPandas(_ocr_batches(bc), schema=OCR_SCHEMA).drop("batch_ms")
+    ocr = joined.mapInPandas(_ocr_batches(bc), schema=OCR_SCHEMA)
+    if keep_kernel_us:
+        text_rows = text_rows.withColumn("kernel_us", F.lit(0).cast("long"))
+    else:
+        ocr = ocr.drop("kernel_us")
 
     return text_rows.unionByName(ocr)
 

@@ -91,6 +91,28 @@ def test_kill_and_resume_recomputes_only_missing(spark, fixture_tables, tmp_path
     assert ckpt_rows["docs_done"].sum() == docs.count()
 
 
+def test_per_partition_kernel_time_is_distinct(spark, fixture_tables, tmp_path):
+    """A15 honesty: kernel_ms must be the partition's OWN kernel time (sum
+    of per-row batch shares), not one wave-level wall stamped everywhere.
+    Partitions hold different media loads, so the values must differ;
+    wave_wall_ms is the per-wave constant and must dominate each part."""
+    docs, media = fixture_tables
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_extraction(spark, docs, media, out, ckpt, "kt", n_parts=N_PARTS)
+    rows = spark.read.parquet(ckpt).toPandas()
+    assert len(rows) == N_PARTS
+    # distinct per-partition values (a constant stamp would collapse to 1)
+    assert rows["kernel_ms"].nunique() > 1
+    assert (rows["kernel_ms"] >= 0).all()
+    # the wave wall is a single per-wave constant and bounds any part's time
+    assert rows["wave_wall_ms"].nunique() == 1
+    assert (rows["kernel_ms"] <= rows["wave_wall_ms"]).all()
+    # partitions with more media spans accumulate more kernel time overall
+    heavy = rows.nlargest(3, "media_spans")["kernel_ms"].mean()
+    light = rows.nsmallest(3, "media_spans")["kernel_ms"].mean()
+    assert heavy > light
+
+
 def test_part_id_stability(spark, fixture_tables):
     """part_id depends only on doc_id and n_parts — stable across runs and
     cluster sizes (resume correctness at any parallelism)."""

