@@ -342,21 +342,37 @@ class NumpyKiriModel:
 
     # -- M3/M4: autoregressive decode ------------------------------------------
 
-    def beam_decode(self, mem_row: np.ndarray, beam: int | None = None) -> tuple[str, float]:
-        """Beam search with length-normalized scoring
-        score / ((5+L)^p / 6^p), n-gram repeat penalties, UNK penalty,
-        early exit when all beams emit EOS (model.py:390-600). beam=1
-        degenerates to greedy decode (M3)."""
+    def _norm_score(self, item: tuple[list[int], float, float, bool]) -> float:
+        L = max(len(item[0]) - 1, 1)
+        p = self.cfg.LEN_NORM_POW
+        return item[1] / ((5 + L) ** p / 6**p)
+
+    def _beam_setup(self, mem_row: np.ndarray, beam: int | None):
+        """Shared beam-search preamble: memory, step cap, CTC fusion state."""
         cfg = self.cfg
         beam = beam or cfg.BEAM
         mem = mem_row[None]
         ctc_text, _ = self.ctc_greedy(mem)[0]
         max_len = self._len_cap(len(ctc_text))
-        bos, eos = self.tok.DEC_BOS, self.tok.DEC_EOS
-        unk_dec = self.tok.unk_id + 3
         ctc_logp = None
         if cfg.CTC_FUSION_ALPHA > 0.0:
             ctc_logp = log_softmax(self.ctc_logits(mem))[0]
+        return beam, mem, max_len, ctc_logp
+
+    def _beam_advance(
+        self,
+        beams: list[tuple[list[int], float, float, bool]],
+        mem: np.ndarray,
+        ctc_logp: np.ndarray | None,
+        beam: int,
+    ) -> list[tuple[list[int], float, float, bool]]:
+        """One beam expansion + re-sort (the loop body of model.py:440-600).
+        Beam tuples are (seq, fused_score, decoder_only_logp, done) —
+        confidence must come from decoder log-probs alone (A10), never
+        fusion bonuses."""
+        cfg = self.cfg
+        bos, eos = self.tok.DEC_BOS, self.tok.DEC_EOS
+        unk_dec = self.tok.unk_id + 3
 
         def ctc_score(seq: list[int]) -> float:
             """CTC-forward alignment of the decoder prefix (dec ids ->
@@ -365,58 +381,96 @@ class NumpyKiriModel:
             s = ctc_forward_score(ctc_logp, target)
             return s if np.isfinite(s) else -1e4
 
-        # (seq, fused_score, decoder_only_logp, done) — confidence must
-        # come from decoder log-probs alone (A10), never fusion bonuses
+        alive = [b for b in beams if not b[3]]
+        ids = np.array([b[0] for b in alive], dtype=np.int64)
+        logits = self._decode_step(ids, np.repeat(mem, len(alive), axis=0))
+        logp = log_softmax(logits[:, -1])
+        cand: list[tuple[list[int], float, float, bool]] = [
+            b for b in beams if b[3]
+        ]
+        for (seq, score, dlp, _), row in zip(alive, logp):
+            row = row.copy()
+            row[unk_dec] += cfg.UNK_PENALTY
+            row[eos] += cfg.EOS_BIAS
+            # uni/bi-gram repeat penalties (model.py:506-535 family)
+            if len(seq) >= 1:
+                row[seq[-1]] += cfg.REPEAT_PENALTY
+            if len(seq) >= 2:
+                for j in range(len(seq) - 1):
+                    if seq[j] == seq[-1]:
+                        row[seq[j + 1]] += cfg.REPEAT_PENALTY / 2.0
+            top = np.argsort(-row, kind="stable")[:beam]
+            for t in top:
+                new_seq = seq + [int(t)]
+                new_score = score + float(row[t])
+                if ctc_logp is not None and int(t) != eos:
+                    new_score += cfg.CTC_FUSION_ALPHA * (
+                        ctc_score(new_seq) - ctc_score(seq)
+                    )
+                cand.append(
+                    (new_seq, new_score, dlp + float(row[t]), int(t) == eos)
+                )
+        cand.sort(key=lambda it: (-self._norm_score(it), len(it[0])))
+        return cand[:beam]
+
+    def beam_decode(self, mem_row: np.ndarray, beam: int | None = None) -> tuple[str, float]:
+        """Beam search with length-normalized scoring
+        score / ((5+L)^p / 6^p), n-gram repeat penalties, UNK penalty,
+        early exit when all beams emit EOS (model.py:390-600). beam=1
+        degenerates to greedy decode (M3)."""
+        beam, mem, max_len, ctc_logp = self._beam_setup(mem_row, beam)
+        bos = self.tok.DEC_BOS
         beams: list[tuple[list[int], float, float, bool]] = [
             ([bos], 0.0, 0.0, False)
         ]
         for _ in range(max_len):
             if all(done for *_, done in beams):
                 break  # early exit (model.py:444-445)
-            alive = [b for b in beams if not b[3]]
-            ids = np.array([b[0] for b in alive], dtype=np.int64)
-            logits = self._decode_step(ids, np.repeat(mem, len(alive), axis=0))
-            logp = log_softmax(logits[:, -1])
-            cand: list[tuple[list[int], float, float, bool]] = [
-                b for b in beams if b[3]
-            ]
-            for (seq, score, dlp, _), row in zip(alive, logp):
-                row = row.copy()
-                row[unk_dec] += cfg.UNK_PENALTY
-                row[eos] += cfg.EOS_BIAS
-                # uni/bi-gram repeat penalties (model.py:506-535 family)
-                if len(seq) >= 1:
-                    row[seq[-1]] += cfg.REPEAT_PENALTY
-                if len(seq) >= 2:
-                    for j in range(len(seq) - 1):
-                        if seq[j] == seq[-1]:
-                            row[seq[j + 1]] += cfg.REPEAT_PENALTY / 2.0
-                top = np.argsort(-row, kind="stable")[:beam]
-                for t in top:
-                    new_seq = seq + [int(t)]
-                    new_score = score + float(row[t])
-                    if ctc_logp is not None and int(t) != eos:
-                        new_score += cfg.CTC_FUSION_ALPHA * (
-                            ctc_score(new_seq) - ctc_score(seq)
-                        )
-                    cand.append(
-                        (new_seq, new_score, dlp + float(row[t]), int(t) == eos)
-                    )
+            beams = self._beam_advance(beams, mem, ctc_logp, beam)
 
-            def norm(item: tuple[list[int], float, float, bool]) -> float:
-                L = max(len(item[0]) - 1, 1)
-                return item[1] / ((5 + L) ** cfg.LEN_NORM_POW / 6**cfg.LEN_NORM_POW)
-
-            cand.sort(key=lambda it: (-norm(it), len(it[0])))
-            beams = cand[:beam]
-        def final_norm(item: tuple[list[int], float, float, bool]) -> float:
-            L = max(len(item[0]) - 1, 1)
-            return item[1] / ((5 + L) ** cfg.LEN_NORM_POW / 6**cfg.LEN_NORM_POW)
-
-        best = max(beams, key=final_norm)
+        best = max(beams, key=self._norm_score)
         seq = np.array(best[0][1:], dtype=np.int64)
         conf = float(np.clip(np.exp(best[2] / max(len(seq), 1)), 0.0, 1.0))
         return self.tok.decode_dec(seq), conf
+
+    def beam_decode_steps(self, mem_row: np.ndarray, beam: int | None = None):
+        """Streaming beam decode (reference model.py:949-1153
+        beam_decode_streaming): after every expansion, yield the CURRENT
+        best hypothesis — which may shrink or change mid-prefix when beams
+        reorder ("may change in later steps due to beam search!"). Yields
+        dicts {step, text, token, retracted, confidence, finished}; the
+        final yield's text/confidence equal beam_decode's return exactly
+        (law-tested). ``token`` is the appended suffix when the text grew
+        monotonically, '' with retracted=True when the new best is not an
+        extension of the previous one — the event a downstream sink must
+        REPLACE on, not append."""
+        beam, mem, max_len, ctc_logp = self._beam_setup(mem_row, beam)
+        bos = self.tok.DEC_BOS
+        beams: list[tuple[list[int], float, float, bool]] = [
+            ([bos], 0.0, 0.0, False)
+        ]
+        prev_text = ""
+        step = 0
+        while step < max_len and not all(done for *_, done in beams):
+            beams = self._beam_advance(beams, mem, ctc_logp, beam)
+            step += 1
+            best = max(beams, key=self._norm_score)
+            seq, _, dlp, _ = best
+            text = self.tok.decode_dec(np.array(seq[1:], dtype=np.int64))
+            grew = text.startswith(prev_text) and len(text) >= len(prev_text)
+            finished = all(done for *_, done in beams) or step >= max_len
+            conf = float(
+                np.clip(np.exp(dlp / max(len(seq) - 1, 1)), 0.0, 1.0)
+            )
+            yield {
+                "step": step,
+                "text": text,
+                "token": text[len(prev_text):] if grew else "",
+                "retracted": not grew,
+                "confidence": conf,
+                "finished": finished,
+            }
+            prev_text = text
 
     def greedy_decode(self, mem_row: np.ndarray) -> tuple[str, float]:
         """M3: 'accurate' mode = beam with BEAM=1 (core.py:560-568)."""

@@ -202,10 +202,10 @@ def stream_token_decode(
     + core.py:887-1026 extract_text_stream_chars): as each recognized
     region (span) arrives, emit one row PER TOKEN carrying the cumulative
     region text, the step index, and the ``region_finished`` /
-    ``document_finished`` flags of the reference's chunk contract. The
-    reference's beam-retraction variant is decoder-streaming-only and has
-    no CTC analogue (CTC emission is monotone), so rows here are
-    append-only — which is exactly what makes them sink-safe at scale.
+    ``document_finished`` flags of the reference's chunk contract. CTC
+    emission is monotone, so rows here are append-only — which is exactly
+    what makes them sink-safe at scale; the reference's non-monotone
+    beam-retraction variant is ``stream_beam_retraction`` below.
 
     Input: parquet span rows (doc_id long, offset int, text string,
     n_total int). State per doc is two ints (regions done, total) and is
@@ -288,6 +288,160 @@ def stream_token_decode(
 
     writer = (
         tokens.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+STEP_EVENT_SCHEMA = (
+    "doc_id long, region int, step int, text string, confidence double, "
+    "finished boolean"
+)
+RETRACT_OUTPUT_SCHEMA = (
+    "doc_id long, region int, step int, kind string, token string, "
+    "text string, confidence double, region_finished boolean"
+)
+RETRACT_STATE_SCHEMA = "prev_text string"
+
+
+def decode_step_events(df: DataFrame) -> DataFrame:
+    """Best-hypothesis step producer (reference model.py:949-1153
+    beam_decode_streaming driven by core.py:887-1026): one row per beam
+    step per region carrying the CURRENT best hypothesis text — which may
+    change non-monotonically as beams reorder. Input rows are
+    (doc_id long, region int, png binary) line images; the decode runs
+    the real numpy beam search inside an Arrow-batched kernel with the
+    executor-singleton model (M8)."""
+    import pandas as pd  # noqa: F811
+
+    def kernel(batches):
+        from ..imaging.png import decode_gray
+        from ..operators.model import get_model
+
+        model = get_model()
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                gray = decode_gray(bytes(r["png"]))
+                mem = model.encode(gray[None].astype("float32"))[0]
+                for ev in model.beam_decode_steps(mem):
+                    rows.append(
+                        (
+                            int(r["doc_id"]),
+                            int(r["region"]),
+                            ev["step"],
+                            ev["text"],
+                            ev["confidence"],
+                            ev["finished"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "region", "step", "text", "confidence", "finished",
+                ],
+            )
+
+    return df.mapInPandas(kernel, schema=STEP_EVENT_SCHEMA)
+
+
+def stream_beam_retraction(
+    spark: SparkSession,
+    steps_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """M7 decoder-mode analogue (reference model.py:949-1153 + consumer
+    core.py:887-1026): fold a stream of best-hypothesis step rows into an
+    append/RETRACT changelog per (doc, region). The reference's streaming
+    beam decode can retract emitted text when beams reorder ("may change
+    in later steps due to beam search!", model.py:973-976) — the Spark
+    analogue keeps the previously-emitted best text in per-(doc, region)
+    state and emits:
+
+    - kind='append', token=<new suffix>  when the new best extends it;
+    - kind='retract', token='', text=<replacement>  when it does not —
+      the event a downstream consumer must REPLACE on, not append.
+
+    Replaying the changelog in (step) order reconstructs the final text
+    exactly. State is one string per in-flight region and is dropped the
+    moment the region finishes; the sink is replay-idempotent (per-batch
+    dynamic partition overwrite), so a retraction lands exactly once even
+    across a kill/restart between write and checkpoint commit.
+
+    Delivery contract: a region's step events arrive in step order ACROSS
+    micro-batches (the sequential decoder appends them in order — the
+    same per-key ordering a Kafka key partition gives); within a batch
+    any order is fine, the fold sorts."""
+    import pandas as pd  # noqa: F811
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(STEP_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(steps_path)
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        prev = state.get[0] if state.exists else ""
+        prev = "" if prev is None else str(prev)
+        rows = []
+        done = False
+        for pdf in pdfs:
+            pdf = pdf.sort_values("step")
+            for _, r in pdf.iterrows():
+                text = "" if r["text"] is None else str(r["text"])
+                grew = text.startswith(prev)
+                rows.append(
+                    (
+                        int(r["step"]),
+                        "append" if grew else "retract",
+                        text[len(prev):] if grew else "",
+                        text,
+                        float(r["confidence"]),
+                        bool(r["finished"]),
+                    )
+                )
+                prev = text
+                done = done or bool(r["finished"])
+        if done:
+            state.remove()  # bounded state: finished regions leave nothing
+        else:
+            state.update((prev,))
+        if rows:
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "step", "kind", "token", "text", "confidence",
+                    "region_finished",
+                ],
+            )
+            out.insert(0, "region", key[1])
+            out.insert(0, "doc_id", key[0])
+            yield out
+
+    changelog = stream.groupBy("doc_id", "region").applyInPandasWithState(
+        fold,
+        outputStructType=RETRACT_OUTPUT_SCHEMA,
+        stateStructType=RETRACT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _write_batch_idempotent(batch_df, batch_id, out_dir)
+
+    writer = (
+        changelog.writeStream.outputMode("append")
         .foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
     )
