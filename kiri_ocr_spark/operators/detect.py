@@ -152,16 +152,86 @@ def _morph_gradient(gray: np.ndarray) -> np.ndarray:
     return (stack.max(axis=0) - stack.min(axis=0)).astype(np.uint8)
 
 
-def binarize_candidates(gray: np.ndarray) -> list[np.ndarray]:
-    """F9/F10/F11/F12: the full candidate bank of legacy:395-494 for
-    grayscale pages, numpy re-expressions of the cv2 calls. All adaptive
-    candidates run on the CLAHE-enhanced image like the reference; both
-    polarities ship and A1/A2 scoring picks the text-like ones. The
-    reference's RGB/HSV/LAB channel candidates apply only to 3-channel
-    input (use_color_channels, legacy:444-488) — this engine's media
-    pages are single-channel by construction, so the channel section is
-    n/a here and the grayscale bank (11 reference candidates) plus the
-    raw-gray extras make a 14-candidate bank."""
+def _rgb_to_hsv_sv(img: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """S and V channels with cv2's 8-bit HSV conventions
+    (V = max(R,G,B); S = 255*(V-min)/V, 0 where V = 0)."""
+    f = img.astype(np.float64)
+    v = f.max(axis=2)
+    mn = f.min(axis=2)
+    s = np.where(v > 0, 255.0 * (v - mn) / np.maximum(v, 1e-9), 0.0)
+    return (
+        np.clip(np.round(s), 0, 255).astype(np.uint8),
+        np.clip(np.round(v), 0, 255).astype(np.uint8),
+    )
+
+
+def _rgb_to_lab(img: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """CIE Lab (D65) with cv2's 8-bit scaling: L*255/100, a+128, b+128 —
+    the numpy analogue of cv2.cvtColor(BGR2LAB) on uint8 input."""
+    rgb = img.astype(np.float64) / 255.0
+    # sRGB -> linear
+    lin = np.where(rgb <= 0.04045, rgb / 12.92, ((rgb + 0.055) / 1.055) ** 2.4)
+    r, g, b = lin[:, :, 0], lin[:, :, 1], lin[:, :, 2]
+    x = 0.412453 * r + 0.357580 * g + 0.180423 * b
+    y = 0.212671 * r + 0.715160 * g + 0.072169 * b
+    z = 0.019334 * r + 0.119193 * g + 0.950227 * b
+    # normalize by D65 white
+    x, z = x / 0.950456, z / 1.088754
+    def f(t):
+        return np.where(t > 0.008856, np.cbrt(t), 7.787 * t + 16.0 / 116.0)
+    fx, fy, fz = f(x), f(y), f(z)
+    L = np.where(y > 0.008856, 116.0 * np.cbrt(y) - 16.0, 903.3 * y)
+    a = 500.0 * (fx - fy)
+    bb = 200.0 * (fy - fz)
+    to8 = lambda v: np.clip(np.round(v), 0, 255).astype(np.uint8)  # noqa: E731
+    return to8(L * 255.0 / 100.0), to8(a + 128.0), to8(bb + 128.0)
+
+
+def color_channel_candidates(img: np.ndarray) -> list[np.ndarray]:
+    """F11 (legacy:444-488 use_color_channels section): the 15 channel
+    candidates the reference adds for 3-channel pages — per-RGB-channel
+    CLAHE+Otsu pairs, HSV V CLAHE+Otsu pair, HSV S fixed threshold, LAB L
+    CLAHE+Otsu pair, LAB a/b high/low extremes. Masks follow the bank's
+    boolean-ink convention; both polarities ship where the reference
+    ships both, A1/A2 scoring picks the text-like ones."""
+    cands: list[np.ndarray] = []
+    for i in range(3):  # legacy:446-453 per-channel otsu +- pairs
+        ch = clahe(img[:, :, i])
+        m = ch <= otsu_threshold(ch)
+        cands.append(m)
+        cands.append(~m)
+    s, v = _rgb_to_hsv_sv(img)
+    ve = clahe(v)  # legacy:458-462 value channel
+    m = ve <= otsu_threshold(ve)
+    cands.append(m)
+    cands.append(~m)
+    cands.append(s > 50)  # legacy:465-467 saturation (colored ink)
+    L, a, b = _rgb_to_lab(img)
+    Le = clahe(L)  # legacy:470-475 lightness
+    m = Le <= otsu_threshold(Le)
+    cands.append(m)
+    cands.append(~m)
+    for ch in (a, b):  # legacy:477-484 a/b extremes (colored text)
+        cands.append(ch > 160)
+        cands.append(ch <= 96)
+    return cands
+
+
+def binarize_candidates(img: np.ndarray) -> list[np.ndarray]:
+    """F9/F10/F11/F12: the full candidate bank of legacy:395-494, numpy
+    re-expressions of the cv2 calls. All adaptive candidates run on the
+    CLAHE-enhanced image like the reference; both polarities ship and
+    A1/A2 scoring picks the text-like ones. A 3-channel input adds the 15
+    RGB/HSV/LAB channel candidates (F11, legacy:444-488) on top of the
+    14-candidate grayscale bank run over the luma projection — 29 total,
+    >= the reference's 26."""
+    color = img.ndim == 3
+    if color:
+        from ..imaging.png import rgb_to_gray
+
+        gray = rgb_to_gray(img)
+    else:
+        gray = img
     enhanced = clahe(gray)
     cands = []
     # otsu pair on the enhanced image (legacy:406-409)
@@ -189,6 +259,8 @@ def binarize_candidates(gray: np.ndarray) -> list[np.ndarray]:
     cands.append(binarize(gray))
     cands.append(gray < 127)
     cands.append(gray < max(1.0, gray.mean() - 10.0))
+    if color:
+        cands.extend(color_channel_candidates(img))
     return cands
 
 

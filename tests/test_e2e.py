@@ -318,3 +318,48 @@ def test_empty_documents_input_yields_empty_output(spark, sf_tiny):
     assert out.columns == ["doc_id", "ord", "kind", "text", "media_ref"]
     # shuffle-join path too
     assert extract_flat(empty, media, broadcast_media=False).count() == 0
+
+
+def test_color_media_payload_extracts_identically(spark, sf_tiny):
+    """S1/P1 color path: a media payload re-encoded as a tinted RGB PNG
+    (color type 2) flows through the same kernel — decode_gray luma-projects
+    it (the reference's imread + BGR2GRAY) and the recognized text is
+    bit-identical to the grayscale original."""
+    import numpy as np
+    import pandas as pd
+
+    from kiri_ocr_spark.fixtures import build_fixture
+    from kiri_ocr_spark.imaging.png import decode_gray, encode_rgb
+    from kiri_ocr_spark.pipeline import extract_span_rows
+
+    docs, media = build_fixture(spark, sf_tiny)
+    first = media.orderBy("media_ref").first()
+    ref = first.media_ref
+
+    gray = decode_gray(bytes(first.png_bytes))
+    ink = gray < 128
+    tinted = np.empty(gray.shape + (3,), dtype=np.uint8)
+    tinted[:, :, 0] = np.where(ink, 20, 245)   # dark blue ink on
+    tinted[:, :, 1] = np.where(ink, 20, 240)   # warm paper
+    tinted[:, :, 2] = np.where(ink, 80, 220)
+    color_bytes = encode_rgb(tinted)
+
+    @F.pandas_udf("binary")
+    def swap(refs: pd.Series, blobs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [color_bytes if r == ref else b for r, b in zip(refs, blobs)]
+        )
+
+    media2 = media.withColumn("png_bytes", swap("media_ref", "png_bytes"))
+    base = (
+        extract_span_rows(docs, media, broadcast_media=True)
+        .filter(F.col("media_ref") == ref).orderBy("doc_id", "offset").collect()
+    )
+    got = (
+        extract_span_rows(docs, media2, broadcast_media=True)
+        .filter(F.col("media_ref") == ref).orderBy("doc_id", "offset").collect()
+    )
+    assert len(got) == len(base) >= 1
+    for g, b in zip(got, base):
+        assert g.text == b.text and g.text is not None
+        assert g.n_lines == b.n_lines and g.n_lines > 0

@@ -347,3 +347,58 @@ def test_binarization_bank_covers_reference_candidates():
     e = clahe(low)
     assert e.dtype == np.uint8 and e.shape == low.shape
     assert (clahe(low) == e).all()
+
+
+def test_color_channel_bank_and_counts():
+    """F11: a 3-channel page runs the 15 RGB/HSV/LAB channel candidates on
+    top of the 14-candidate grayscale bank (29 total >= the reference's
+    26); a grayscale page keeps the 14-candidate bank."""
+    from kiri_ocr_spark.imaging.glyphs import render_page
+    from kiri_ocr_spark.operators.detect import binarize_candidates
+
+    page = render_page(["color bank page"])
+    assert len(binarize_candidates(page)) == 14
+    # tint: dark blue ink on warm paper
+    rgb = np.empty(page.shape + (3,), dtype=np.uint8)
+    ink = page < 128
+    for c, (i_v, p_v) in enumerate([(20, 245), (20, 240), (80, 220)]):
+        ch = np.where(ink, i_v, p_v).astype(np.uint8)
+        rgb[:, :, c] = ch
+    cands = binarize_candidates(rgb)
+    assert len(cands) == 29
+    assert all(c.shape == page.shape and c.dtype == bool for c in cands)
+
+
+def test_color_bank_recovers_luma_invisible_text():
+    """The reason F11 exists (legacy:444 'for colored backgrounds'): red
+    text on an equal-luma gray background vanishes in the luma projection
+    — the grayscale bank scores ~nothing while a channel candidate
+    recovers the glyph mask."""
+    from kiri_ocr_spark.imaging.glyphs import render_page
+    from kiri_ocr_spark.operators.detect import (
+        binarize_candidates,
+        color_channel_candidates,
+        score_binarization,
+    )
+    from kiri_ocr_spark.imaging.png import rgb_to_gray
+
+    page = render_page(["hidden in luma", "second line here"])
+    ink = page < 128
+    # red ink (200,60,62) has luma exactly 102; paint the paper gray 102
+    rgb = np.empty(page.shape + (3,), dtype=np.uint8)
+    rgb[:, :, 0] = np.where(ink, 200, 102)
+    rgb[:, :, 1] = np.where(ink, 60, 102)
+    rgb[:, :, 2] = np.where(ink, 62, 102)
+    gray = rgb_to_gray(rgb)
+    assert int(np.ptp(gray)) == 0  # text is truly invisible in luma
+    color_scores = [score_binarization(c) for c in color_channel_candidates(rgb)]
+    best = int(np.argmax(color_scores))
+    best_mask = color_channel_candidates(rgb)[best]
+    # the winning channel candidate recovers the ink mask (or its inverse
+    # polarity twin — scoring may pick either; check overlap with ink)
+    overlap = (best_mask & ink).sum() / ink.sum()
+    assert overlap > 0.95
+    assert max(color_scores) > 0
+    # and the full bank's argmax lands on a COLOR candidate, not a gray one
+    all_scores = [score_binarization(c) for c in binarize_candidates(rgb)]
+    assert int(np.argmax(all_scores)) >= 14
