@@ -119,8 +119,14 @@ class CharTokenizer:
         return ids + 3
 
     def decode_raw(self, ids: np.ndarray) -> str:
+        # the unk token never renders (reference model.py:119-135 emits ''
+        # for it in both decode paths) — relevant for file-loaded vocabs
+        # where <unk> occupies a dense id inside self.chars
         return "".join(
-            self.chars[i] if 0 <= i < len(self.chars) else "" for i in ids
+            self.chars[i]
+            if 0 <= i < len(self.chars) and i != self.unk_id
+            else ""
+            for i in ids
         )
 
     def decode_ctc(self, ctc_ids: np.ndarray) -> str:
@@ -477,13 +483,186 @@ class NumpyKiriModel:
         return self.beam_decode(mem_row, beam=1)
 
 
-_MODEL_SINGLETON: dict[int, NumpyKiriModel] = {}
+# -- S3: weight persistence + discovery loader (core.py:219-465) ------------
+
+_META_SUFFIX = "_meta.json"
+_CONFIG_FIELDS = (
+    "IMG_H", "IMG_W", "D_MODEL", "N_HEADS", "N_ENC_LAYERS", "N_DEC_LAYERS",
+    "FF_MULT", "MAX_DEC_LEN", "BEAM", "LEN_NORM_POW", "UNK_PENALTY",
+    "REPEAT_PENALTY", "CTC_FUSION_ALPHA", "EOS_BIAS", "CTC_LEN_CAP_MULT",
+    "CTC_LEN_CAP_ADD",
+)
 
 
-def get_model(cfg: CFG | None = None) -> NumpyKiriModel:
+def state_dict(model: NumpyKiriModel) -> dict[str, np.ndarray]:
+    """Flat named-tensor view of every weight (the safetensors shape of
+    the reference's checkpoint, core.py:297-316 — .npz is this sandbox's
+    pickle-free named-tensor container)."""
+    sd: dict[str, np.ndarray] = {}
+    for i, c in enumerate(model.convs):
+        sd[f"stem.{i}.k"] = c["k"]
+        sd[f"stem.{i}.b"] = c["b"]
+    for i, ly in enumerate(model.enc_layers):
+        for name, arr in ly.items():
+            sd[f"enc.layers.{i}.{name}"] = arr
+    sd["enc_ln.g"], sd["enc_ln.b"] = model.enc_ln
+    sd["ctc_head.w"], sd["ctc_head.b"] = model.ctc_head
+    sd["dec_emb.weight"] = model.dec_emb
+    for i, ly in enumerate(model.dec_layers):
+        for name, arr in ly.items():
+            sd[f"dec.layers.{i}.{name}"] = arr
+    sd["lm_head.w"], sd["lm_head.b"] = model.lm_head
+    return sd
+
+
+def save_model(model: NumpyKiriModel, model_path: str) -> None:
+    """Write <path>.npz weights + <path>_meta.json sidecar (config +
+    vocab_path, core.py:297-316's safetensors + _meta.json layout) + the
+    vocab.json next to them. Everything needed to reload on a machine
+    that never saw the constructor seed."""
+    import json
+    import os
+
+    if not model_path.endswith(".npz"):
+        model_path += ".npz"
+    np.savez(model_path, **state_dict(model))
+    vocab_name = "vocab.json"
+    vocab_path = os.path.join(os.path.dirname(model_path) or ".", vocab_name)
+    with open(vocab_path, "w", encoding="utf-8") as f:
+        json.dump({c: i for i, c in enumerate(model.tok.chars)}, f)
+    meta = {
+        "config": {k: getattr(model.cfg, k) for k in _CONFIG_FIELDS},
+        "vocab_path": vocab_name,
+    }
+    with open(model_path[: -len(".npz")] + _META_SUFFIX, "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+
+
+def _find_vocab_file(vocab_path: str, model_path: str) -> str | None:
+    """Reference's vocab discovery chain (core.py:451-465): the sidecar's
+    path, then its basename next to the model, then the conventional
+    names in the model directory."""
+    import os
+
+    model_dir = os.path.dirname(model_path) or "."
+    candidates = [
+        vocab_path,
+        os.path.join(model_dir, os.path.basename(vocab_path)) if vocab_path else None,
+        os.path.join(model_dir, "vocab.json"),
+        os.path.join(model_dir, "vocab_auto.json"),
+        os.path.join(model_dir, "vocab_char.json"),
+    ]
+    for c in candidates:
+        if c and os.path.exists(c):
+            return c
+    return None
+
+
+def _infer_config_from_state_dict(sd: dict, cfg: CFG) -> None:
+    """Meta-less fallback (core.py:320-404): layer counts from key
+    indices, dims from array shapes."""
+    enc = {int(k.split(".")[2]) for k in sd if k.startswith("enc.layers.")}
+    dec = {int(k.split(".")[2]) for k in sd if k.startswith("dec.layers.")}
+    if enc:
+        cfg.N_ENC_LAYERS = max(enc) + 1
+    if dec:
+        cfg.N_DEC_LAYERS = max(dec) + 1
+    if "dec_emb.weight" in sd:
+        cfg.D_MODEL = int(sd["dec_emb.weight"].shape[1])
+    if "enc.layers.0.w1" in sd:
+        cfg.FF_MULT = int(sd["enc.layers.0.w1"].shape[1]) // cfg.D_MODEL
+
+
+def load_model(model_path: str) -> NumpyKiriModel:
+    """Reload a saved model bit-for-bit: npz state dict + _meta.json
+    config (shape inference when the sidecar is missing) + the vocab
+    discovery chain; a missing vocab raises FileNotFoundError exactly like
+    the reference (core.py:248-251). The loaded model's decodes are
+    bit-identical to the saved one's (law-tested)."""
+    import json
+    import os
+
+    if not model_path.endswith(".npz"):
+        model_path += ".npz"
+    with np.load(model_path) as z:
+        sd = {k: z[k] for k in z.files}
+    cfg = CFG()
+    vocab_path = ""
+    meta_path = model_path[: -len(".npz")] + _META_SUFFIX
+    if os.path.exists(meta_path):
+        with open(meta_path, encoding="utf-8") as f:
+            meta = json.load(f)
+        for k, v in meta.get("config", {}).items():
+            if k in _CONFIG_FIELDS:
+                setattr(cfg, k, v)
+        vocab_path = meta.get("vocab_path", "")
+    else:
+        _infer_config_from_state_dict(sd, cfg)
+    found = _find_vocab_file(vocab_path, model_path)
+    if not found:
+        raise FileNotFoundError(
+            f"Could not find vocabulary file. Expected near: {model_path}"
+        )
+    tok = CharTokenizer.from_json(found)
+
+    model = NumpyKiriModel.__new__(NumpyKiriModel)
+    model.cfg = cfg
+    model.tok = tok
+    model.convs = []
+    strides = [(2, 2), (2, 2), (2, 1)]
+    i = 0
+    while f"stem.{i}.k" in sd:
+        model.convs.append(
+            {
+                "k": sd[f"stem.{i}.k"],
+                "b": sd[f"stem.{i}.b"],
+                "stride": strides[i] if i < len(strides) else (1, 1),
+                "cout": int(sd[f"stem.{i}.k"].shape[1]),
+            }
+        )
+        i += 1
+    model.enc_layers = [
+        {
+            name: sd[f"enc.layers.{i}.{name}"]
+            for name in (
+                "wq", "wk", "wv", "wo", "g1", "b1",
+                "w1", "bf1", "w2", "bf2", "g2", "b2",
+            )
+        }
+        for i in range(cfg.N_ENC_LAYERS)
+    ]
+    model.enc_ln = (sd["enc_ln.g"], sd["enc_ln.b"])
+    model.ctc_head = (sd["ctc_head.w"], sd["ctc_head.b"])
+    model.dec_emb = sd["dec_emb.weight"]
+    model.dec_layers = [
+        {
+            name: sd[f"dec.layers.{i}.{name}"]
+            for name in (
+                "sq", "sk", "sv", "so", "g1", "b1",
+                "cq", "ck", "cv", "co", "g2", "b2",
+                "w1", "bf1", "w2", "bf2", "g3", "b3",
+            )
+        }
+        for i in range(cfg.N_DEC_LAYERS)
+    ]
+    model.lm_head = (sd["lm_head.w"], sd["lm_head.b"])
+    return model
+
+
+_MODEL_SINGLETON: dict[object, NumpyKiriModel] = {}
+
+
+def get_model(cfg: CFG | None = None, path: str | None = None) -> NumpyKiriModel:
     """Executor-process singleton (M8 analogue, core.py:53-54,220-231):
-    the model is materialized once per python worker; on a cluster the CFG
-    rides a broadcast variable and this cache is keyed by its seed."""
+    the model is materialized once per python worker. ``path`` is the
+    CLUSTER entry point — ship the .npz + _meta.json + vocab.json via
+    spark-submit --files, then every executor's first task loads them once
+    and the cache (keyed by path) serves the rest. Without a path the
+    deterministic seed build is used (keyed by seed)."""
+    if path is not None:
+        if path not in _MODEL_SINGLETON:
+            _MODEL_SINGLETON[path] = load_model(path)
+        return _MODEL_SINGLETON[path]
     cfg = cfg or CFG()
     if cfg.SEED not in _MODEL_SINGLETON:
         _MODEL_SINGLETON[cfg.SEED] = NumpyKiriModel(cfg)

@@ -188,3 +188,75 @@ def test_tokenizer_from_json_sorted_by_id_remap(tmp_path):
     assert tok2.chars == ["x", "<unk>", "y"]
     assert tok2.unk_id == 1  # unk keeps its sorted position, not forced last
     assert tok2.encode("zx").tolist() == [1, 0]
+
+
+def test_save_load_bit_identical_decode(tmp_path):
+    """S3 full parity (core.py:219-465): save -> load on a 'machine' that
+    never saw the constructor seed -> every decode path is bit-identical.
+    Also: vocab discovery chain and the missing-vocab FileNotFoundError."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from kiri_ocr_spark.operators.model import (
+        CFG,
+        NumpyKiriModel,
+        get_model,
+        load_model,
+        save_model,
+        state_dict,
+    )
+
+    model = NumpyKiriModel(CFG())
+    p = str(tmp_path / "kiri_model.npz")
+    save_model(model, p)
+    assert os.path.exists(p)
+    assert os.path.exists(str(tmp_path / "kiri_model_meta.json"))
+    assert os.path.exists(str(tmp_path / "vocab.json"))
+
+    loaded = load_model(p)
+    # weights identical array-for-array
+    a, b = state_dict(model), state_dict(loaded)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert (a[k] == b[k]).all(), k
+    # decode laws: greedy, beam, streaming steps — bit-identical
+    rng = np.random.default_rng(13)
+    for _ in range(3):
+        img = (rng.random((48, 128)) * 255).astype(np.uint8)
+        mem0 = model.encode(img[None].astype(np.float32))[0]
+        mem1 = loaded.encode(img[None].astype(np.float32))[0]
+        assert (mem0 == mem1).all()
+        assert model.beam_decode(mem0) == loaded.beam_decode(mem1)
+        assert model.greedy_decode(mem0) == loaded.greedy_decode(mem1)
+        s0 = list(model.beam_decode_steps(mem0))
+        s1 = list(loaded.beam_decode_steps(mem1))
+        assert s0 == s1
+        assert model.ctc_greedy(mem0[None]) == loaded.ctc_greedy(mem1[None])
+
+    # meta-less load: architecture inferred from shapes, still identical
+    os.remove(str(tmp_path / "kiri_model_meta.json"))
+    inferred = load_model(p)
+    assert inferred.cfg.N_ENC_LAYERS == model.cfg.N_ENC_LAYERS
+    assert inferred.cfg.N_DEC_LAYERS == model.cfg.N_DEC_LAYERS
+    assert inferred.cfg.D_MODEL == model.cfg.D_MODEL
+    img = (rng.random((48, 96)) * 255).astype(np.uint8)
+    m = img[None].astype(np.float32)
+    assert model.beam_decode(model.encode(m)[0]) == inferred.beam_decode(
+        inferred.encode(m)[0]
+    )
+
+    # vocab discovery: vocab.json renamed to vocab_auto.json still found
+    os.rename(str(tmp_path / "vocab.json"), str(tmp_path / "vocab_auto.json"))
+    assert load_model(p) is not None
+    # missing vocab entirely -> the reference's FileNotFoundError
+    os.remove(str(tmp_path / "vocab_auto.json"))
+    with pytest.raises(FileNotFoundError, match="vocab"):
+        load_model(p)
+
+    # get_model(path=...) caches per path (executor singleton)
+    p2 = str(tmp_path / "m2.npz")
+    save_model(model, p2)
+    g1, g2 = get_model(path=p2), get_model(path=p2)
+    assert g1 is g2
