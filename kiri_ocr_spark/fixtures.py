@@ -98,13 +98,39 @@ def build_documents(flat_docs: DataFrame) -> DataFrame:
     )
 
 
+# S1 color-path coverage: every m % 5 == 3 page ships as a truecolor PNG
+# — dark-blue ink on warm paper, applied by pixel VALUE so inverted pages
+# keep their polarity in luma. The tint is a strictly increasing affine
+# map of the binary page, so extraction, line detection and dHash grouping
+# are unchanged while ~20% of every fixture (and bench) run exercises the
+# color decode + luma projection for real.
+_TINT_INK = (20, 20, 80)     # luma 27
+_TINT_PAPER = (245, 240, 220)  # luma 239
+
+
+def _tint_page(page):
+    import numpy as np
+
+    rgb = np.empty(page.shape + (3,), dtype=np.uint8)
+    dark = page < 128
+    for c in range(3):
+        rgb[:, :, c] = np.where(dark, _TINT_INK[c], _TINT_PAPER[c])
+    return rgb
+
+
 def _render_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .imaging.png import encode_rgb
+
     for pdf in batches:
         refs, blobs, ws, hs = [], [], [], []
-        for ref, rtext, inv in zip(pdf["media_ref"], pdf["render_text"], pdf["invert"]):
+        for ref, rtext, inv, tint in zip(
+            pdf["media_ref"], pdf["render_text"], pdf["invert"], pdf["tint"]
+        ):
             page = render_page(rtext.split("\n"), scale=SCALE, invert=bool(inv))
             refs.append(ref)
-            blobs.append(encode_gray(page))
+            blobs.append(
+                encode_rgb(_tint_page(page)) if bool(tint) else encode_gray(page)
+            )
             hs.append(page.shape[0])
             ws.append(page.shape[1])
         yield pd.DataFrame(
@@ -141,6 +167,7 @@ def build_media(flat_docs: DataFrame) -> DataFrame:
                     end"""
             ).alias("render_text"),
             F.expr("m % 3 = 2").alias("invert"),
+            F.expr("m % 5 = 3").alias("tint"),
         )
     )
     return specs.repartition(nparts, "media_ref").mapInPandas(
@@ -169,7 +196,7 @@ def build_fixture(
     from .imaging import glyphs
 
     spec = (
-        f"v2|{glyphs.GLYPH_W}|{glyphs.GLYPH_H}|{glyphs.CHAR_GAP}|"
+        f"v3|{glyphs.GLYPH_W}|{glyphs.GLYPH_H}|{glyphs.CHAR_GAP}|"
         f"{glyphs.SPACE_GAP}|{glyphs.LINE_GAP}|{glyphs.PAD_X}|{glyphs.PAD_Y}|"
         f"{glyphs.SCALE}|{sf_dir}"
     )

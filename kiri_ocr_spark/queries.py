@@ -1832,7 +1832,8 @@ WITH d AS (
          len(toks[((m*3)*1 + 0) % nt + 1]) AS l0,
          len(toks[((m*3)*1 + 1) % nt + 1]) AS l1,
          len(toks[((m*3)*1 + 2) % nt + 1]) AS l2,
-         m % 2 AS odd
+         m % 2 AS odd,
+         m % 5 AS m5
   FROM d2, unnest(generate_series(0, n_media - 1)) AS g(m)
 )
 SELECT media_ref, TRUE AS is_png,
@@ -1840,7 +1841,8 @@ SELECT media_ref, TRUE AS is_png,
                  THEN 2 * greatest(7*(l0+l1) + 2, 7*l2 - 1) + 40
                  ELSE 2 * (7*(l0+l1+l2) + 5) + 40 END AS INT) AS width,
        CAST(CASE WHEN odd = 1 THEN 68 ELSE 40 END AS INT) AS height,
-       CAST(8 AS INT) AS bit_depth, CAST(0 AS INT) AS color_type
+       CAST(8 AS INT) AS bit_depth,
+       CAST(CASE WHEN m5 = 3 THEN 2 ELSE 0 END AS INT) AS color_type
 FROM m
 """
 

@@ -34,9 +34,12 @@ def test_png_meta_native_parse_matches_render(spark, media):
         | (F.col("width") != F.col("w_true"))
         | (F.col("height") != F.col("h_true"))
         | (F.col("bit_depth") != 8)
-        | (F.col("color_type") != 0)
+        | (~F.col("color_type").isin(0, 2))
     )
     assert bad.count() == 0
+    # the fixture ships both encodings: gray (type 0) and tinted truecolor
+    types = {r.color_type for r in meta.select("color_type").distinct().collect()}
+    assert types == {0, 2}
 
 
 def test_png_meta_non_png_payload(spark):
