@@ -229,8 +229,14 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # the default fixture dir carries the renderer spec version so a
+    # fixture-contract change invalidates the materialized copy (the
+    # _SUCCESS check alone would happily serve a stale render)
+    from kiri_ocr_spark.fixtures import fixture_spec_key
+
     fix_dir = os.environ.get(
-        "SPARK_GRAFT_FIXTURE_DIR", f"/tmp/kiri_fixture_{sf_label}"
+        "SPARK_GRAFT_FIXTURE_DIR",
+        f"/tmp/kiri_fixture_{sf_label}_{fixture_spec_key(sf_dir)}",
     )
     os.makedirs(fix_dir, exist_ok=True)
     t0 = time.monotonic()

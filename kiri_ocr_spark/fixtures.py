@@ -175,6 +175,22 @@ def build_media(flat_docs: DataFrame) -> DataFrame:
     )
 
 
+def fixture_spec_key(sf_dir: str) -> str:
+    """Hash of the renderer's layout/encoding contract + the sf dir — the
+    cache key for every materialized copy of the fixture (here and in
+    bench.py), so a fixture-contract change invalidates them all."""
+    import hashlib
+
+    from .imaging import glyphs
+
+    spec = (
+        f"v3|{glyphs.GLYPH_W}|{glyphs.GLYPH_H}|{glyphs.CHAR_GAP}|"
+        f"{glyphs.SPACE_GAP}|{glyphs.LINE_GAP}|{glyphs.PAD_X}|{glyphs.PAD_Y}|"
+        f"{glyphs.SCALE}|{sf_dir}"
+    )
+    return hashlib.sha256(spec.encode()).hexdigest()[:16]
+
+
 def build_fixture(
     spark: SparkSession, sf_dir: str, cache: bool = True
 ) -> tuple[DataFrame, DataFrame]:
@@ -189,18 +205,10 @@ def build_fixture(
     if not cache:
         return build_documents(flat), build_media(flat)
 
-    import hashlib
     import os
     import tempfile
 
-    from .imaging import glyphs
-
-    spec = (
-        f"v3|{glyphs.GLYPH_W}|{glyphs.GLYPH_H}|{glyphs.CHAR_GAP}|"
-        f"{glyphs.SPACE_GAP}|{glyphs.LINE_GAP}|{glyphs.PAD_X}|{glyphs.PAD_Y}|"
-        f"{glyphs.SCALE}|{sf_dir}"
-    )
-    key = hashlib.sha256(spec.encode()).hexdigest()[:16]
+    key = fixture_spec_key(sf_dir)
     base = os.path.join(tempfile.gettempdir(), f"kiri_fixture_cache_{key}")
     docs_dir, media_dir = os.path.join(base, "docs"), os.path.join(base, "media")
     done = os.path.join(base, "_COMPLETE")
