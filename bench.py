@@ -32,6 +32,7 @@ HEADLINE_QUERIES = [
     "dedup_exact",
     "near_dup_cosine",
     "ann_topk",
+    "ann_lsh_topk",
     "ann_ivf",
     "ann_ivf_recall",
     "cer_by_lang",

@@ -877,6 +877,81 @@ def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_one_accounting(corpus, verified)
 
 
+def q_dedup_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language dedup accounting — the slice a curation run reports
+    per wave (dup rates differ wildly by language on real web corpora, so
+    a single global rate hides quality problems). Planted near-dup docs
+    (+100000) inherit their source document's language."""
+    corpus = _near_dup_corpus(spark, sf_dir).select("doc_id")
+    verified = _staged(
+        spark, sf_dir, "verified_pairs",
+        lambda: q_minhash_verified(spark, sf_dir),
+    )
+    labels = _cluster_labels(verified.select("a", "b"))
+    dropped = labels.filter(F.col("node") != F.col("lbl")).select(
+        F.col("node").alias("doc_id"), F.lit(1).alias("is_dropped")
+    )
+    langs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("src_doc"), "lang"
+    )
+    with_lang = corpus.withColumn(
+        "src_doc",
+        F.when(F.col("doc_id") >= 100000, F.col("doc_id") - 100000).otherwise(
+            F.col("doc_id")
+        ),
+    ).join(langs, "src_doc")
+    joined = with_lang.join(dropped, "doc_id", "left")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.coalesce("is_dropped", F.lit(0))).cast("long").alias("n_dropped"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_dropped",
+            F.round(F.col("n_dropped") / F.col("n_docs"), 6).alias("drop_rate"),
+        )
+    )
+
+
+def _dedup_rate_by_lang_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT a, b FROM ({_minhash_verified_sql().strip()}) v
+), corpus AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id FROM documents WHERE doc_id % 5 = 0
+), edges AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS node FROM edges
+), reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+), labels AS (
+  SELECT node, min(lbl) AS lbl FROM reach GROUP BY node
+), dropped AS (
+  SELECT node AS doc_id FROM labels WHERE node <> lbl
+), with_lang AS (
+  SELECT c.doc_id, d.lang,
+         CASE WHEN c.doc_id IN (SELECT doc_id FROM dropped) THEN 1 ELSE 0 END
+           AS is_dropped
+  FROM corpus c
+  JOIN documents d
+    ON d.doc_id = CASE WHEN c.doc_id >= 100000
+                       THEN c.doc_id - 100000 ELSE c.doc_id END
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(is_dropped) AS BIGINT) AS n_dropped,
+       round(sum(is_dropped)::DOUBLE / count(*), 6) AS drop_rate
+FROM with_lang GROUP BY lang
+"""
+
+
 def _dedup_keep_one_sql() -> str:
     return f"""
 WITH RECURSIVE pairs AS (
@@ -1314,6 +1389,127 @@ FROM embeddings, p GROUP BY 1
 
 
 _ANN_LSH_SQL = _ann_lsh_sql()
+
+
+# --------------------------------------------------------------------------
+# 20a2. LSH-bucketed top-k search — the OTHER ANN scale path (sign-LSH
+#       multi-band probing, complementing IVF): candidates = corpus rows
+#       sharing the query's bucket in EITHER of two sign bands over
+#       disjoint raw dims, exact cosine within candidates only. Width
+#       derives from the corpus count (same integer-doubling rule as the
+#       bucket histogram); at 10^12 vectors each band is an equi-join
+#       touching ~target_bucket rows per query. Recall vs brute force is
+#       the tunable envelope (q_ann_lsh_recall), exactly like IVF's.
+# --------------------------------------------------------------------------
+
+
+def _lsh_banded(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", F.expr(f"sqrt({_DOT.format(a='v', b='v')})"))
+    )
+    bits = lsh_bits_for(e.count())
+    for band in range(2):
+        off = band * bits
+        sig = " + ".join(
+            f"if(element_at(v, {off + i + 1}) > 0, {1 << i}, 0)"
+            for i in range(bits)
+        )
+        e = e.withColumn(f"b{band}", F.expr(f"cast({sig} as int)"))
+    return e, bits
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e, _ = _lsh_banded(spark, sf_dir)
+    e = e.localCheckpoint(eager=False)  # one corpus pass feeds both bands
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("b0").alias("qb0"),
+        F.col("b1").alias("qb1"),
+    )
+    cand = None
+    for band in range(2):
+        hits = q.join(
+            e, F.col(f"qb{band}") == F.col(f"b{band}")
+        ).filter(F.col("query_id") != F.col("vec_id")).select(
+            "query_id", "qv", "qn", "vec_id", "v", "nrm"
+        )
+        cand = hits if cand is None else cand.unionByName(hits)
+    cand = cand.dropDuplicates(["query_id", "vec_id"])
+    sims = cand.withColumn(
+        "sim",
+        F.round(F.expr(_DOT.format(a="qv", b="v")) / (F.col("qn") * F.col("nrm")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rk")
+    )
+
+
+def _ann_lsh_topk_sql() -> str:
+    chain = " ".join(
+        f"WHEN cnt <= {_LSH_TARGET_BUCKET * (1 << b)} THEN {b}"
+        for b in range(_LSH_MIN_BITS, _LSH_MAX_BITS)
+    )
+    sig0 = " + ".join(
+        f"CASE WHEN {i} < p.bits AND v[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(_LSH_MAX_BITS)
+    )
+    sig1 = " + ".join(
+        f"CASE WHEN {i} < p.bits AND v[p.bits + {i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(_LSH_MAX_BITS)
+    )
+    return f"""
+WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+p AS (SELECT CASE {chain} ELSE {_LSH_MAX_BITS} END AS bits FROM n),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), banded AS (
+  SELECT vec_id, v, nrm, CAST({sig0} AS INT) AS b0, CAST({sig1} AS INT) AS b1
+  FROM e, p
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, b0 AS qb0, b1 AS qb1
+  FROM banded WHERE vec_id < {_N_QUERIES}
+), cand AS (
+  SELECT DISTINCT q.query_id, q.qv, q.qn, c.vec_id, c.v, c.nrm
+  FROM q JOIN banded c ON (q.qb0 = c.b0 OR q.qb1 = c.b1)
+  WHERE q.query_id <> c.vec_id
+), sims AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         round(list_dot_product(qv, v) / (qn * nrm), 6) AS sim
+  FROM cand
+), topk AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS INT) AS rk
+  FROM sims
+)
+SELECT query_id, neighbor_id, rk FROM topk WHERE rk <= {_TOP_K}
+"""
+
+
+_ANN_LSH_TOPK_SQL = _ann_lsh_topk_sql()
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brute = q_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = q_ann_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    n_true = brute.agg(F.count("*").cast("long").alias("n_true"))
+    n_hit = brute.join(lsh, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count("*").cast("long").alias("n_hit")
+    )
+    return n_true.crossJoin(n_hit).select(
+        "n_true",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall_at_k"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2434,6 +2630,7 @@ def query_registry() -> dict[str, QueryFn]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_verified": q_dedup_clusters_verified,
         "dedup_keep_one": q_dedup_keep_one,
+        "dedup_rate_by_lang": q_dedup_rate_by_lang,
         "simhash": q_simhash,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -2441,6 +2638,8 @@ def query_registry() -> dict[str, QueryFn]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_topk": q_ann_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_trained": q_ann_ivf_trained,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -2480,6 +2679,7 @@ def oracle_registry() -> dict[str, str]:
             "SELECT a, b FROM (" + _minhash_verified_sql() + ") v"
         ).strip(),
         "dedup_keep_one": _dedup_keep_one_sql().strip(),
+        "dedup_rate_by_lang": _dedup_rate_by_lang_sql().strip(),
         "simhash": _simhash_sql().strip(),
         "token_stats": _TOKEN_STATS_SQL.strip(),
         "quality_score": _quality_sql().strip(),
@@ -2487,6 +2687,18 @@ def oracle_registry() -> dict[str, str]:
         "doc_fingerprint": _FINGERPRINT_SQL.strip(),
         "ann_topk": _ANN_TOPK_SQL.strip(),
         "ann_lsh_buckets": _ANN_LSH_SQL.strip(),
+        "ann_lsh_topk": _ANN_LSH_TOPK_SQL.strip(),
+        "ann_lsh_recall": (
+            f"WITH brute AS (SELECT query_id, neighbor_id FROM ({_ANN_TOPK_SQL})),\n"
+            f"lsh AS (SELECT query_id, neighbor_id FROM ({_ANN_LSH_TOPK_SQL})),\n"
+            "hit AS (SELECT count(*) AS n_hit FROM brute b WHERE EXISTS ("
+            "SELECT 1 FROM lsh i WHERE i.query_id = b.query_id "
+            "AND i.neighbor_id = b.neighbor_id))\n"
+            "SELECT CAST((SELECT count(*) FROM brute) AS BIGINT) AS n_true,\n"
+            "       CAST(n_hit AS BIGINT) AS n_hit,\n"
+            "       round(n_hit::DOUBLE / (SELECT count(*) FROM brute), 6)"
+            " AS recall_at_k\nFROM hit"
+        ),
         "ann_ivf": _ANN_IVF_SQL.strip(),
         "ann_ivf_trained": _ANN_IVF_TRAINED_SQL.strip(),
         "ann_ivf_recall": _ANN_IVF_RECALL_SQL.strip(),
