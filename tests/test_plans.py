@@ -118,6 +118,17 @@ def test_ann_topk_broadcasts_queries_not_corpus(spark, sf_tiny):
     assert "BuildRight" not in plan
 
 
+def test_ann_lsh_topk_probes_by_equi_join(spark, sf_tiny):
+    """The LSH search must probe buckets via equi-joins on the band keys —
+    never a theta-join over the corpus (the structure that makes it an
+    ANN scale path at all)."""
+    from kiri_ocr_spark.queries import q_ann_lsh_topk
+
+    plan = plan_of(q_ann_lsh_topk(spark, sf_tiny))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_near_dup_cosine_has_no_all_pairs_broadcast(spark, sf_tiny):
     """Scale guard (judge r1 finding 2): near-dup runs as an equi-join on
     the sign-LSH bucket key — no theta-join over a corpus broadcast."""
