@@ -1177,6 +1177,127 @@ FROM d
 
 
 # --------------------------------------------------------------------------
+# 16b. Repetition-based quality filters (the Gopher-rule family, Rae et
+#      al. 2021 §A1.1: documents dominated by a few repeated n-grams are
+#      boilerplate/spam): per doc, the fraction of word bigrams occupied
+#      by the single most frequent bigram (top_2gram_frac) and the
+#      duplicate-bigram fraction (1 - distinct/total). Scale shape:
+#      explode -> two-level groupBy, fully map-side-combinable; no row
+#      ever carries more than one bigram.
+# --------------------------------------------------------------------------
+
+_REP_TOP_THRESH = 0.08    # top-2gram fraction above this -> repetitive
+_REP_DUP_THRESH = 0.50    # duplicate-bigram fraction above this -> spammy
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text")).select(
+        "doc_id", F.expr(f"split({_SPARK_NORM}, ' ')").alias("toks")
+    )
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(toks[i - 1], ' ', toks[i]))"
+            )
+        ).alias("bg"),
+    )
+    per_bg = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    stats = per_bg.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.max("c").cast("long").alias("top_count"),
+        F.count("*").cast("long").alias("n_distinct"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("top_count") / F.col("n_bigrams"), 6).alias("top_2gram_frac"),
+        F.round(1 - F.col("n_distinct") / F.col("n_bigrams"), 6).alias(
+            "dup_2gram_frac"
+        ),
+        (
+            (F.col("top_count") / F.col("n_bigrams") > _REP_TOP_THRESH)
+            | (1 - F.col("n_distinct") / F.col("n_bigrams") > _REP_DUP_THRESH)
+        ).alias("flagged"),
+    )
+
+
+_REPETITION_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split({_DUCK_NORM}, ' ') AS toks FROM documents
+), bg AS (
+  SELECT doc_id, toks[g.i] || ' ' || toks[g.i + 1] AS bg
+  FROM d, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+), per_bg AS (
+  SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg
+), stats AS (
+  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_count,
+         count(*) AS n_distinct
+  FROM per_bg GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       round(top_count::DOUBLE / n_bigrams, 6) AS top_2gram_frac,
+       round(1 - n_distinct::DOUBLE / n_bigrams, 6) AS dup_2gram_frac,
+       (top_count::DOUBLE / n_bigrams > {_REP_TOP_THRESH}
+        OR 1 - n_distinct::DOUBLE / n_bigrams > {_REP_DUP_THRESH}) AS flagged
+FROM stats
+"""
+
+
+# --------------------------------------------------------------------------
+# 16c. Corpus-level boilerplate phrases (the CCNet/RefinedWeb line-dedup
+#      signal adapted to the fixture's unlined text): word bigram phrases
+#      that appear in many DISTINCT documents are navigation/boilerplate,
+#      and real pipelines strip or down-weight them. Cross-doc document
+#      frequency, not within-doc repetition (16b). Two-level agg again:
+#      the per-(phrase, doc) distinct step is a groupBy, never a
+#      count(distinct) holding per-group sets.
+# --------------------------------------------------------------------------
+
+_PHRASE_MIN_DOCS = 20
+
+
+def q_common_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text")).select(
+        "doc_id", F.expr(f"split({_SPARK_NORM}, ' ')").alias("toks")
+    )
+    phrases = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(toks[i - 1], ' ', toks[i]))"
+            )
+        ).alias("phrase"),
+    )
+    per_doc = phrases.groupBy("phrase", "doc_id").agg(F.count("*").alias("c"))
+    return (
+        per_doc.groupBy("phrase")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("c").cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= _PHRASE_MIN_DOCS)
+    )
+
+
+_COMMON_PHRASES_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split({_DUCK_NORM}, ' ') AS toks FROM documents
+), ph AS (
+  SELECT doc_id, toks[g.i] || ' ' || toks[g.i + 1] AS phrase
+  FROM d, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+), per_doc AS (
+  SELECT phrase, doc_id, count(*) AS c FROM ph GROUP BY phrase, doc_id
+)
+SELECT phrase, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(c) AS BIGINT) AS n_occurrences
+FROM per_doc GROUP BY phrase HAVING count(*) >= {_PHRASE_MIN_DOCS}
+"""
+
+
+# --------------------------------------------------------------------------
 # 17. Language-ID heuristic vs labeled lang (confusion counts)
 # --------------------------------------------------------------------------
 
@@ -2634,6 +2755,8 @@ def query_registry() -> dict[str, QueryFn]:
         "simhash": q_simhash,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
+        "repetition_stats": q_repetition_stats,
+        "common_phrases": q_common_phrases,
         "lang_pred": q_lang_pred,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_topk": q_ann_topk,
@@ -2683,6 +2806,8 @@ def oracle_registry() -> dict[str, str]:
         "simhash": _simhash_sql().strip(),
         "token_stats": _TOKEN_STATS_SQL.strip(),
         "quality_score": _quality_sql().strip(),
+        "repetition_stats": _REPETITION_SQL.strip(),
+        "common_phrases": _COMMON_PHRASES_SQL.strip(),
         "lang_pred": _LANG_PRED_SQL.strip(),
         "doc_fingerprint": _FINGERPRINT_SQL.strip(),
         "ann_topk": _ANN_TOPK_SQL.strip(),
