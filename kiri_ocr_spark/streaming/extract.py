@@ -304,7 +304,7 @@ RETRACT_OUTPUT_SCHEMA = (
     "doc_id long, region int, step int, kind string, token string, "
     "text string, confidence double, region_finished boolean"
 )
-RETRACT_STATE_SCHEMA = "prev_text string"
+RETRACT_STATE_SCHEMA = "prev_text string, last_step int"
 
 
 def decode_step_events(df: DataFrame) -> DataFrame:
@@ -390,18 +390,26 @@ def stream_beam_retraction(
     )
 
     def fold(key, pdfs, state: GroupState):
-        prev = state.get[0] if state.exists else ""
-        prev = "" if prev is None else str(prev)
+        prev, last_step = ("", 0)
+        if state.exists:
+            prev = "" if state.get[0] is None else str(state.get[0])
+            last_step = int(state.get[1] or 0)
         rows = []
         done = False
         for pdf in pdfs:
             pdf = pdf.sort_values("step")
             for _, r in pdf.iterrows():
+                step = int(r["step"])
+                if step <= last_step:
+                    # stale / out-of-contract delivery: a step the region
+                    # already advanced past must not fabricate a bogus
+                    # retract against newer text — drop it
+                    continue
                 text = "" if r["text"] is None else str(r["text"])
                 grew = text.startswith(prev)
                 rows.append(
                     (
-                        int(r["step"]),
+                        step,
                         "append" if grew else "retract",
                         text[len(prev):] if grew else "",
                         text,
@@ -410,11 +418,12 @@ def stream_beam_retraction(
                     )
                 )
                 prev = text
+                last_step = step
                 done = done or bool(r["finished"])
         if done:
             state.remove()  # bounded state: finished regions leave nothing
         else:
-            state.update((prev,))
+            state.update((prev, last_step))
         if rows:
             out = pd.DataFrame(
                 rows,

@@ -229,3 +229,34 @@ def fake_heatmaps_from_gray(gray):
     from kiri_ocr_spark.operators.detect import binarize
 
     return fake_heatmaps(binarize(gray))
+
+
+def test_min_area_rect_properties_random_point_sets():
+    """Property harness for the rotating-calipers rect (hardening after
+    the round-2 center-inversion bug): for random point sets, the
+    returned rect (1) contains every input point, (2) has area no larger
+    than the axis-aligned bounding box, and (3) round-trips through
+    box_points -> min_area_rect with identical area."""
+    rng = np.random.default_rng(42)
+    for trial in range(50):
+        n = int(rng.integers(3, 40))
+        pts = rng.random((n, 2)) * rng.uniform(5, 200) + rng.uniform(-100, 100, 2)
+        (cx, cy), (w, h), ang = min_area_rect(pts)
+        area = w * h
+        if area == 0:  # collinear sample — skip containment math
+            continue
+        # (2) never worse than the AABB
+        aabb = np.ptp(pts[:, 0]) * np.ptp(pts[:, 1])
+        assert area <= aabb + 1e-6, (trial, area, aabb)
+        # (1) containment: project points into the rect frame
+        t = np.radians(ang)
+        c, s = np.cos(t), np.sin(t)
+        rel = pts - np.array([cx, cy])
+        # inverse of box_points' rotation-by-+ang
+        u = rel @ np.array([[c, -s], [s, c]])
+        assert (np.abs(u[:, 0]) <= w / 2 + 1e-6).all(), trial
+        assert (np.abs(u[:, 1]) <= h / 2 + 1e-6).all(), trial
+        # (3) fixed point: the rect's own corners reproduce its area
+        corners = box_points(((cx, cy), (w, h), ang))
+        _, (w2, h2), _ = min_area_rect(corners)
+        assert abs(w2 * h2 - area) < 1e-6 * max(area, 1.0), trial

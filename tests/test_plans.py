@@ -244,6 +244,19 @@ def test_lsh_geometry_scales_with_corpus_and_bounds_buckets(spark):
     assert occ.n_buckets > n // (4 * _NEAR_DUP_TARGET_BUCKET)
 
 
+def test_curation_aggs_keep_map_side_combine(spark, sf_tiny):
+    """repetition_stats / common_phrases are explode -> two-level groupBy
+    pipelines: the physical plan must keep partial (map-side) aggregation
+    so the shuffle carries per-(key) combiners, never raw exploded rows —
+    the property that makes them viable at 10^12 documents."""
+    from kiri_ocr_spark.queries import q_common_phrases, q_repetition_stats
+
+    for df in (q_repetition_stats(spark, sf_tiny), q_common_phrases(spark, sf_tiny)):
+        plan = plan_of(df)
+        assert "partial_count" in plan, plan[:2000]
+        assert "Python" not in plan  # pure Catalyst, no UDF stage
+
+
 def test_keep_one_survives_high_dup_rate_without_forced_broadcast(spark):
     """Scale guard (judge r2 finding 1): web corpora dedup at 30-80%, so the
     drop set is corpus-scale and must NOT ride a mandatory broadcast (driver

@@ -337,3 +337,37 @@ def test_beam_retraction_exactly_once_across_restart(spark, tmp_path):
     third = spark.read.parquet(out).toPandas()
     assert len(third) == len(second)
     assert (third["kind"] == "retract").sum() == 1
+
+
+def test_beam_retraction_drops_stale_out_of_order_steps(spark, tmp_path):
+    """Delivery-contract violation guard: a step the region already
+    advanced past (arriving in a LATER micro-batch) must be dropped, not
+    turned into a bogus retract against newer text."""
+    from kiri_ocr_spark.streaming.extract import (
+        STEP_EVENT_SCHEMA,
+        stream_beam_retraction,
+    )
+
+    steps_dir = str(tmp_path / "steps")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(5, 0, 1, "x", 0.9, False), (5, 0, 2, "xy", 0.9, False)],
+        STEP_EVENT_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(steps_dir)
+    q = stream_beam_retraction(spark, steps_dir, out, ckpt)
+    assert q.awaitTermination(TIMEOUT_S)
+    # a stale step 1 arrives late, then the genuine step 3
+    spark.createDataFrame(
+        [(5, 0, 1, "x", 0.9, False), (5, 0, 3, "xyz", 0.9, True)],
+        STEP_EVENT_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(steps_dir)
+    q = stream_beam_retraction(spark, steps_dir, out, ckpt)
+    assert q.awaitTermination(TIMEOUT_S)
+    got = spark.read.parquet(out).toPandas().sort_values("step")
+    assert list(got["step"]) == [1, 2, 3]  # the replayed step 1 was dropped
+    assert (got["kind"] == "append").all()
+    cur = ""
+    for _, r in got.iterrows():
+        cur = r["text"] if r["kind"] == "retract" else cur + r["token"]
+    assert cur == "xyz"
