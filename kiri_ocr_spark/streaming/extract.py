@@ -459,6 +459,52 @@ def stream_beam_retraction(
     return writer.start()
 
 
+def stream_dedup_docs(
+    spark: SparkSession,
+    docs_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    watermark_delay: str = "2 hours",
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Ingestion-time exact dedup: the streaming front door of the dedup
+    family (the batch near-dup passes run downstream). Documents arriving
+    more than once within the watermark horizon are emitted exactly once,
+    keyed by content fingerprint (xxhash64 of the normalized text) —
+    `dropDuplicatesWithinWatermark` keeps state only until the watermark
+    passes, so state is bounded by the horizon, not the corpus (the
+    property that matters at 10^12 docs; a plain dropDuplicates would
+    accumulate every key forever)."""
+    schema = "doc_id long, ts timestamp, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_path)
+        .withColumn(
+            "fingerprint",
+            F.xxhash64(F.expr("trim(regexp_replace(text, '\\\\s+', ' '))")),
+        )
+        .withWatermark("ts", watermark_delay)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _write_batch_idempotent(batch_df, batch_id, out_dir)
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_event_windows(
     spark: SparkSession,
     events_path: str,

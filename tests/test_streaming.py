@@ -371,3 +371,51 @@ def test_beam_retraction_drops_stale_out_of_order_steps(spark, tmp_path):
     for _, r in got.iterrows():
         cur = r["text"] if r["kind"] == "retract" else cur + r["token"]
     assert cur == "xyz"
+
+
+def test_stream_dedup_docs_within_watermark(spark, tmp_path):
+    """Ingestion-time exact dedup: duplicate content arriving across
+    micro-batches within the watermark horizon is emitted exactly once;
+    distinct content all passes. Restart from checkpoint emits nothing
+    new."""
+    import datetime as dt
+
+    from kiri_ocr_spark.streaming.extract import stream_dedup_docs
+
+    docs_dir = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    # batch 1: three docs, one internal duplicate pair (same text)
+    spark.createDataFrame(
+        [
+            (1, t0, "alpha beta gamma"),
+            (2, t0 + dt.timedelta(minutes=1), "alpha  beta   gamma"),  # dup after normalize
+            (3, t0 + dt.timedelta(minutes=2), "something else"),
+        ],
+        "doc_id long, ts timestamp, text string",
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+    # batch 2 (separate file): a cross-batch duplicate + a fresh doc
+    spark.createDataFrame(
+        [
+            (4, t0 + dt.timedelta(minutes=10), "alpha beta gamma"),
+            (5, t0 + dt.timedelta(minutes=11), "brand new content"),
+        ],
+        "doc_id long, ts timestamp, text string",
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    q = stream_dedup_docs(spark, docs_dir, out, ckpt)
+    assert q.awaitTermination(TIMEOUT_S)
+    got = spark.read.parquet(out).toPandas()
+    # exactly one row per distinct fingerprint: {alpha beta gamma,
+    # something else, brand new content}
+    assert len(got) == 3
+    assert got["fingerprint"].nunique() == 3
+    texts = set(got["text"].str.replace(r"\s+", " ", regex=True).str.strip())
+    assert texts == {"alpha beta gamma", "something else", "brand new content"}
+
+    # restart: no new input -> nothing new
+    q = stream_dedup_docs(spark, docs_dir, out, ckpt)
+    assert q.awaitTermination(TIMEOUT_S)
+    assert spark.read.parquet(out).count() == 3
