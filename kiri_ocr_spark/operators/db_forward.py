@@ -1,0 +1,134 @@
+"""Numpy DB probability-map forward (M5) — the reference's opaque ONNX
+``session.run`` re-expressed as an actual convolutional forward pass.
+
+The reference treats the DB model as a black box with a fixed I/O
+contract (/root/reference/kiri_ocr/detector/db/model.py:113-160,440-470):
+input = /32-sized image, gray->3-channel, ImageNet-normalized, NCHW
+float32; output = a [H, W] probability map in [0, 1] at the input
+resolution, fed to ``_boxes_from_bitmap``. This module honors exactly
+that contract with a small DBNet-shaped net (stride-2 contrast conv ->
+stride-2 smoothing conv -> 1x1 head -> bilinear x4 upsample -> sigmoid)
+whose weights are HAND-CONSTRUCTED, deterministic, and genuinely
+text-responsive: conv1 is an ink-contrast detector under ImageNet
+normalization (dark ink maps to ~-2 per channel, paper to ~+2.4, so a
+negative averaging kernel + ReLU passes ink energy only), conv2 smooths
+stroke energy into region evidence, and the head calibrates a sigmoid.
+Trained weights remain the one external input — plug a real exported
+model's wrapper as ``heatmap_fn`` on a cluster; this forward exists so
+the whole DB path (facade -> forward -> db_postprocess) runs end-to-end
+on a real convnet output distribution rather than a box-blur seam.
+Detection quality is accordingly coarser than a trained model's
+(hand-constructed smoothing cannot match learned features, and the
+fixture's nearest-neighbor /32 downscale decimates 2-px strokes), which
+is exactly the honest state: architecture + I/O contract real, quality
+pending weights.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float64)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float64)
+
+# head calibration: sigmoid(_HEAD_GAIN * (x - _HEAD_THRESH))
+_HEAD_GAIN = 20.0
+_HEAD_THRESH = 0.18
+
+
+def _conv2d(x: np.ndarray, w: np.ndarray, b: np.ndarray, stride: int) -> np.ndarray:
+    """Same-pad 3x3 conv via im2col; x [H, W, Cin], w [3, 3, Cin, Cout]."""
+    H, W, C = x.shape
+    xp = np.pad(x, ((1, 1), (1, 1), (0, 0)))
+    oh, ow = (H + stride - 1) // stride, (W + stride - 1) // stride
+    ys = np.arange(oh) * stride
+    xs = np.arange(ow) * stride
+    cols = np.empty((oh, ow, 9 * C))
+    for dy in range(3):
+        for dx in range(3):
+            cols[..., (dy * 3 + dx) * C : (dy * 3 + dx + 1) * C] = (
+                xp[ys + dy][:, xs + dx]
+            )
+    return cols @ w.reshape(9 * C, -1) + b
+
+
+def _upsample_bilinear(x: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    in_h, in_w = x.shape
+    ys = (np.arange(out_h) + 0.5) * in_h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * in_w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, in_h - 1)
+    y1 = np.clip(y0 + 1, 0, in_h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, in_w - 1)
+    x1 = np.clip(x0 + 1, 0, in_w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    top = x[y0][:, x0] * (1 - wx) + x[y0][:, x1] * wx
+    bot = x[y1][:, x0] * (1 - wx) + x[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def _weights() -> dict[str, np.ndarray]:
+    """Deterministic hand-constructed weights (no RNG).
+
+    conv1 (3 -> 8, stride 2): every output channel is the negative 3x3x3
+    average — under ImageNet normalization ink pixels activate ~+2, paper
+    ~-2.4, so ReLU passes ink energy only.
+    conv2 (8 -> 8, stride 2): ANISOTROPIC smoothing — strong along the
+    text direction, weak across it (separable [0.1, 0.8, 0.1] vertical x
+    uniform horizontal taps), so stroke energy merges into line evidence
+    without bleeding across the inter-line gap; ReLU is a no-op on
+    non-negative input. The same horizontal-over-vertical receptive-field
+    bias is what a trained DB detector learns for line-shaped text.
+    head (1x1 as a 3x3 with center tap, 8 -> 1): channel average.
+    """
+    w1 = np.full((3, 3, 3, 8), -1.0 / 27.0)
+    b1 = np.zeros(8)
+    vy = np.array([0.04, 0.92, 0.04])
+    w2 = np.broadcast_to(
+        (vy[:, None] / 3.0)[:, :, None, None] / 8.0, (3, 3, 8, 8)
+    ).copy()
+    b2 = np.zeros(8)
+    # conv3 (8 -> 8, stride 1 at /4): a purely HORIZONTAL smoothing pass
+    # (1x3 realized in the 3x3 kernel's middle row) widens the along-line
+    # receptive field so word gaps fuse into line evidence without adding
+    # any vertical bleed across the inter-line gap
+    w3 = np.zeros((3, 3, 8, 8))
+    w3[1, :, :, :] = 1.0 / (3.0 * 8.0)
+    b3 = np.zeros(8)
+    wh = np.zeros((3, 3, 8, 1))
+    wh[1, 1, :, 0] = 1.0 / 8.0
+    bh = np.zeros(1)
+    return {
+        "w1": w1, "b1": b1, "w2": w2, "b2": b2,
+        "w3": w3, "b3": b3, "wh": wh, "bh": bh,
+    }
+
+
+_W = _weights()
+
+
+def preprocess(resized_gray: np.ndarray) -> np.ndarray:
+    """The reference's ``_normalize`` (db/model.py:150-160) for a gray
+    page: gray -> 3 channels, /255, ImageNet mean/std, NCHW float32."""
+    rgb = np.repeat(resized_gray[:, :, None].astype(np.float64) / 255.0, 3, 2)
+    norm = (rgb - _IMAGENET_MEAN) / _IMAGENET_STD
+    return norm.transpose(2, 0, 1)[None].astype(np.float32)
+
+
+def forward(input_tensor: np.ndarray) -> np.ndarray:
+    """[1, 3, H, W] normalized input -> [H, W] probability map in [0, 1]
+    (the ONNX session's output contract, db/model.py:449-461)."""
+    x = input_tensor[0].transpose(1, 2, 0).astype(np.float64)  # HWC
+    h, w = x.shape[:2]
+    x = np.maximum(_conv2d(x, _W["w1"], _W["b1"], stride=2), 0.0)
+    x = np.maximum(_conv2d(x, _W["w2"], _W["b2"], stride=2), 0.0)
+    x = np.maximum(_conv2d(x, _W["w3"], _W["b3"], stride=1), 0.0)
+    x = np.maximum(_conv2d(x, _W["w3"], _W["b3"], stride=1), 0.0)
+    x = _conv2d(x, _W["wh"], _W["bh"], stride=1)[..., 0]
+    up = _upsample_bilinear(x, h, w)
+    return 1.0 / (1.0 + np.exp(-_HEAD_GAIN * (up - _HEAD_THRESH)))
+
+
+def db_prob_map(resized_gray: np.ndarray) -> np.ndarray:
+    """facade ``heatmap_fn`` entry: resized gray page -> prob map."""
+    return forward(preprocess(resized_gray))

@@ -10,10 +10,12 @@ This engine mirrors that contract:
 - ``craft`` / ``db``: the heatmap postprocessing paths of
   ``operators/heatmap_post.py``. The neural forward pass is a pluggable
   ``heatmap_fn`` — on a cluster with onnxruntime/torch, pass a wrapper
-  around the real model; in this sandbox the deterministic seams
-  (``fake_heatmaps`` / ``fake_prob_map``) stand in, or pass None to get
-  the reference's own missing-weights behavior: warn + fall back to
-  legacy (detector/__init__.py:115-151).
+  around the real model; in-sandbox, ``operators/db_forward.db_prob_map``
+  is a real numpy convnet forward honoring the ONNX I/O contract
+  (hand-constructed weights), the deterministic seams
+  (``fake_heatmaps`` / ``fake_prob_map``) remain for plumbing tests, or
+  pass None to get the reference's own missing-weights behavior: warn +
+  fall back to legacy (detector/__init__.py:115-151).
 
 Per-image kernel, embarrassingly parallel at table scope (wrap in
 mapInPandas like every other kernel here).

@@ -260,3 +260,75 @@ def test_min_area_rect_properties_random_point_sets():
         corners = box_points(((cx, cy), (w, h), ang))
         _, (w2, h2), _ = min_area_rect(corners)
         assert abs(w2 * h2 - area) < 1e-6 * max(area, 1.0), trial
+
+
+def test_db_forward_numpy_contracts():
+    """M5: the numpy DB forward honors the reference's ONNX I/O contract
+    (ImageNet-normalized NCHW in, full-resolution [0,1] prob map out,
+    db/model.py:150-160,449-461), is deterministic, and is genuinely
+    text-responsive — high probability over text rows, low over paper and
+    a blank page. Detection QUALITY is not asserted beyond that: weights
+    are hand-constructed (trained weights are the one external input)."""
+    from kiri_ocr_spark.imaging.glyphs import render_page
+    from kiri_ocr_spark.operators.db_forward import db_prob_map, forward, preprocess
+    from kiri_ocr_spark.operators.heatmap_post import resize_to_multiple_of_32
+
+    page = render_page(["first line of text", "second line here"])
+    resized, _, _ = resize_to_multiple_of_32(page)
+    x = preprocess(resized)
+    assert x.shape == (1, 3) + resized.shape and x.dtype == np.float32
+    pm = forward(x)
+    assert pm.shape == resized.shape
+    assert 0.0 <= pm.min() and pm.max() <= 1.0
+    assert (db_prob_map(resized) == pm).all()  # deterministic
+    # text rows light up, the empty border does not
+    ink_rows = (resized < 128).any(axis=1)
+    assert pm[ink_rows].mean() > 3 * pm[:3, :].mean()
+    assert pm.max() > 0.9
+    # blank page: nothing above the binarization threshold
+    blank = np.full((64, 96), 255, dtype=np.uint8)
+    assert (db_prob_map(blank) <= 0.3).all()
+    # an all-ink page is all text energy
+    dark = np.zeros((64, 96), dtype=np.uint8)
+    assert db_prob_map(dark).mean() > 0.5
+
+
+def test_db_facade_with_numpy_forward_detects_text():
+    """Facade e2e over the real convnet forward: multi-line pages produce
+    line-ordered region boxes that sit on ink, with no silent legacy
+    fallback. The reference's DB contract is word-or-line REGIONS, not
+    render-line-count parity (its own detect path returns word boxes
+    sorted into lines, db/model.py:280-333), and hand-constructed weights
+    are coarser than trained ones — so the assertions are: regions exist
+    via the db path itself, every region contains ink, and the regions
+    jointly cover a substantial share of it."""
+    from kiri_ocr_spark.imaging.glyphs import render_page
+    from kiri_ocr_spark.operators.db_forward import db_prob_map
+    from kiri_ocr_spark.operators.facade import TextDetector
+    from kiri_ocr_spark.operators.heatmap_post import (
+        db_postprocess,
+        resize_to_multiple_of_32,
+    )
+
+    det = TextDetector(method="db", heatmap_fn=db_prob_map)
+    assert det.method == "db"  # a real heatmap_fn -> no constructor fallback
+    for lines in (
+        ["first line of text", "second line here"],
+        ["aa bb cc", "dd ee ff", "gg hh ii"],
+        ["w1 w2 w3 w4", "x1 x2", "y1 y2 y3", "z end"],
+    ):
+        page = render_page(lines)
+        # the db path itself (not the empty-result legacy fallback) fires
+        resized, (h, w), _ = resize_to_multiple_of_32(page)
+        quads, scores = db_postprocess(db_prob_map(resized), w, h, thresh=0.3)
+        assert len(quads) >= 1
+        boxes = det.detect_boxes(page)
+        assert len(boxes) >= 1
+        ink = page < 128
+        covered = np.zeros_like(ink)
+        for x, y, bw, bh, conf in boxes:
+            assert conf > 0.5
+            x0, y0 = max(int(x), 0), max(int(y), 0)
+            covered[y0 : int(y + bh) + 1, x0 : int(x + bw) + 1] = True
+            assert ink[y0 : int(y + bh) + 1, x0 : int(x + bw) + 1].any()
+        assert (ink & covered).sum() / ink.sum() > 0.3
