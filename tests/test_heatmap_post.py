@@ -332,3 +332,56 @@ def test_db_facade_with_numpy_forward_detects_text():
             covered[y0 : int(y + bh) + 1, x0 : int(x + bw) + 1] = True
             assert ink[y0 : int(y + bh) + 1, x0 : int(x + bw) + 1].any()
         assert (ink & covered).sum() / ink.sum() > 0.3
+
+
+def test_craft_forward_numpy_contracts():
+    """M6: the numpy CRAFT forward emits same-shape (text, link) score
+    maps in [0,1] (craft/model.py:120-292 contract), deterministic,
+    text-responsive on ink rows and silent on a blank page; weights are
+    hand-constructed (trained weights are the one external input)."""
+    from kiri_ocr_spark.imaging.glyphs import render_page
+    from kiri_ocr_spark.operators.craft_forward import craft_maps
+
+    page = render_page(["first line of text", "second line here"])
+    t, l = craft_maps(page)
+    assert t.shape == page.shape == l.shape
+    assert 0 <= t.min() and t.max() <= 1 and 0 <= l.min() and l.max() <= 1
+    t2, l2 = craft_maps(page)
+    assert (t2 == t).all() and (l2 == l).all()
+    ink = page < 128
+    assert t[ink].mean() > 3 * t[:3, :].mean()
+    assert t.max() > 0.7  # craft_boxes' text_threshold is reachable
+    blank = np.full((64, 96), 255, dtype=np.uint8)
+    tb, lb = craft_maps(blank)
+    assert craft_boxes(tb, lb) == []
+
+
+def test_craft_facade_with_numpy_forward_and_link_merging():
+    """Facade e2e over the real CRAFT forward: region boxes land on ink
+    with no silent legacy fallback; and the LINK head genuinely merges
+    character fragments — fewer components with the real link map than
+    with it zeroed (the CRAFT affinity mechanism, exercised at a glyph
+    scale where inter-character gaps survive the /2 feature stride)."""
+    from kiri_ocr_spark.imaging.glyphs import render_page
+    from kiri_ocr_spark.operators.craft_forward import craft_maps
+    from kiri_ocr_spark.operators.facade import TextDetector
+
+    det = TextDetector(method="craft", heatmap_fn=craft_maps)
+    assert det.method == "craft"
+    for lines in (
+        ["one single line"],
+        ["first line of text", "second line here"],
+        ["aa bb cc", "dd ee ff", "gg hh ii"],
+    ):
+        page = render_page(lines)
+        boxes = det.detect_boxes(page)
+        assert len(boxes) >= len(lines)
+        ink = page < 128
+        for x, y, w, h, _ in boxes:
+            assert ink[max(int(y), 0) : int(y + h) + 1,
+                       max(int(x), 0) : int(x + w) + 1].any()
+    big = render_page(["ab cd ef"], scale=4)
+    t, l = craft_maps(big)
+    with_link = craft_boxes(t, l)
+    without_link = craft_boxes(t, np.zeros_like(l))
+    assert 0 < len(with_link) < len(without_link)
