@@ -260,3 +260,28 @@ def test_save_load_bit_identical_decode(tmp_path):
     save_model(model, p2)
     g1, g2 = get_model(path=p2), get_model(path=p2)
     assert g1 is g2
+
+
+def test_load_model_rejects_corrupt_and_incomplete_inputs(tmp_path):
+    """Negative paths of the weights loader: garbage bytes and a state
+    dict missing required tensors fail loudly (never a silently-wrong
+    model on an executor)."""
+    import numpy as np
+    import pytest
+
+    from kiri_ocr_spark.operators.model import CFG, NumpyKiriModel, load_model, save_model
+
+    bad = tmp_path / "bad.npz"
+    bad.write_bytes(b"this is not an npz archive")
+    with pytest.raises(Exception):
+        load_model(str(bad))
+
+    model = NumpyKiriModel(CFG())
+    p = str(tmp_path / "ok.npz")
+    save_model(model, p)
+    # strip a required tensor -> KeyError at reconstruction, not silence
+    with np.load(p) as z:
+        partial = {k: z[k] for k in z.files if k != "dec_emb.weight"}
+    np.savez(p, **partial)
+    with pytest.raises(KeyError):
+        load_model(p)

@@ -345,3 +345,32 @@ def test_dedup_stage_cache_reuses_materialized_pairs(spark, sf_tiny):
         ).collect())
     )
     assert fresh == r1
+
+
+def test_lsh_geometry_helper_properties():
+    """lsh_bits_for / sign_lsh_geometry laws: monotone non-decreasing in
+    n, clamped to their configured ranges, and exact at power-of-two
+    boundaries (the reason the rule is integer doubling, not float log)."""
+    from kiri_ocr_spark.queries import (
+        _LSH_MAX_BITS,
+        _LSH_MIN_BITS,
+        _NEAR_DUP_MAX_BANDS,
+        _NEAR_DUP_MAX_BITS,
+        _NEAR_DUP_MIN_BANDS,
+        _NEAR_DUP_MIN_BITS,
+        lsh_bits_for,
+        sign_lsh_geometry,
+    )
+
+    prev = 0
+    for n in [0, 1, 10, 100, 1000, 10**6, 10**9, 10**12, 10**15]:
+        b = lsh_bits_for(n)
+        assert _LSH_MIN_BITS <= b <= _LSH_MAX_BITS
+        assert b >= prev
+        prev = b
+        bits, bands = sign_lsh_geometry(max(n, 1))
+        assert _NEAR_DUP_MIN_BITS <= bits <= _NEAR_DUP_MAX_BITS
+        assert _NEAR_DUP_MIN_BANDS <= bands <= _NEAR_DUP_MAX_BANDS
+    # exact power-of-two boundary: target*2^b == n needs exactly b bits
+    assert lsh_bits_for(2 * 2**8) == 8
+    assert lsh_bits_for(2 * 2**8 + 1) == 9
