@@ -2054,6 +2054,8 @@ def q_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     n_emb = e.count()
+    if n_emb == 0:  # empty corpus: no pairs, not a driver-side crash
+        return spark.createDataFrame([], "a long, b long")
     n_corpus = n_emb + (n_emb + 9) // 10  # planted dups: vec_id % 10 == 0
     bits, bands = sign_lsh_geometry(n_corpus)
     dims = len(e.select("v").first()[0])
