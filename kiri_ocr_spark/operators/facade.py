@@ -30,7 +30,9 @@ import numpy as np
 
 from .components import filter_components, relative_size_filter
 from .detect import (
+    bbox_hull,
     binarize,
+    group_blocks,
     group_into_lines,
     invert_if_dark,
     line_boxes_from_groups,
@@ -88,6 +90,56 @@ class TextDetector:
         return [
             (int(b[0]), int(b[1]), int(b[2]), int(b[3]))
             for b in self.detect_boxes(gray)
+        ]
+
+    def detect_words(self, gray: np.ndarray) -> list[tuple[int, int, int, int]]:
+        """Word-level boxes. EVERY method falls back to the legacy
+        component path here — exactly the reference facade, whose neural
+        backends detect lines only (detector/__init__.py:293-297). Per
+        detected line, words split at blank-column runs >= 3 unit columns
+        — the renderer's space contract and the same rule the oracled
+        word_segmentation query applies (the reference's statistical
+        component-gap variant lives in detect.segment_words / W5; the
+        fixed-unit rule is the exact one for this engine's glyph raster)."""
+        from .detect import detect_lines
+        from ..imaging.glyphs import GLYPH_H
+
+        gray = invert_if_dark(np.asarray(gray, dtype=np.uint8))
+        ink = binarize(gray)
+        out: list[tuple[int, int, int, int]] = []
+        for box in detect_lines(gray, ink=ink):
+            x, y, w, h = (int(v) for v in box[:4])
+            crop = ink[y : y + h, x : x + w]
+            scale = max(1, h // GLYPH_H)
+            cols = crop[0::scale, 0::scale].any(axis=0)
+            padded = np.concatenate([[0], cols.astype(np.int8), [0]])
+            d = np.diff(padded)
+            starts = np.flatnonzero(d == 1)
+            ends = np.flatnonzero(d == -1)
+            if len(starts) == 0:
+                continue
+            cur = [int(starts[0]), int(ends[0])]
+            spans: list[list[int]] = []
+            for s, e in zip(starts[1:], ends[1:]):
+                if int(s) - cur[1] >= 3:  # word boundary (SPACE_GAP contract)
+                    spans.append(cur)
+                    cur = [int(s), int(e)]
+                else:
+                    cur[1] = int(e)
+            spans.append(cur)
+            for s, e in spans:
+                out.append((x + s * scale, y, (e - s) * scale, h))
+        return out
+
+    def detect_blocks(self, gray: np.ndarray) -> list[tuple[int, int, int, int]]:
+        """Block-level boxes: the METHOD's own lines grouped by the legacy
+        block logic (reference facade detector/__init__.py:299-320)."""
+        lines = self.detect_boxes(gray)
+        if len(lines) == 0:
+            return []
+        return [
+            tuple(int(v) for v in bbox_hull(lines[idx])[:4])
+            for idx in group_blocks(lines)
         ]
 
     # -- backends ----------------------------------------------------------

@@ -127,6 +127,8 @@ def _cell_frames(cells: list[tuple[np.ndarray, bool]]) -> tuple[np.ndarray, np.n
             flat = bitmap.ravel()
             for key, cand in index.items():
                 tmpl = np.unpackbits(np.frombuffer(key, dtype=np.uint8))[: flat.size]
+                if tmpl.size != flat.size:
+                    continue  # differently-shaped cell: not comparable
                 d = int((tmpl != flat).sum())
                 if d < best_d:
                     best_ch, best_d = cand, d

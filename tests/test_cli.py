@@ -104,3 +104,77 @@ def test_batch_binaryfile_scan_ocr(tmp_path):
         .fetchall()
     }
     assert got == pages
+
+
+def test_ocr_class_reference_api_parity(tmp_path):
+    """Drop-in OCR class (core.py:40-1160): extract_text reproduces the
+    page text on the exactness path, process_document carries the
+    reference's result-dict contract, words mode segments, the streaming
+    chars generator reassembles, and decode-method aliases normalize."""
+    import numpy as np
+    import pytest
+
+    from kiri_ocr_spark.imaging.glyphs import render_page
+    from kiri_ocr_spark.imaging.png import encode_gray
+    from kiri_ocr_spark.ocr import OCR
+
+    page = render_page(["hello spark world", "second line here"])
+    p = tmp_path / "page.png"
+    p.write_bytes(encode_gray(page))
+
+    ocr = OCR(det_method="legacy", decode_method="fast")
+    text, results = ocr.extract_text(str(p))
+    assert text == "hello spark world\nsecond line here"
+    assert [r["line_number"] for r in results] == [1, 2]
+    for r in results:
+        assert set(r) == {"box", "text", "confidence", "det_confidence",
+                          "line_number"}
+        assert r["confidence"] == 1.0  # exactness path on clean renders
+
+    # words mode: one region per word, same text after line regrouping
+    wtext, wresults = ocr.extract_text(str(p), mode="words")
+    assert wtext == text
+    assert len(wresults) == 6
+
+    # ndarray input works like a path
+    assert ocr.extract_text(page)[0] == text
+
+    # streaming chars: tokens reassemble; flags fire exactly once
+    chunks = list(ocr.extract_text_stream_chars(str(p)))
+    assert chunks[-1]["document_finished"]
+    assert sum(c["region_start"] for c in chunks) == 2
+    got = "".join(c["token"] for c in chunks if not c["region_start"])
+    assert got == text.replace("\n", "")
+    assert chunks[-1]["cumulative_text"] == text
+
+    # decode-method normalization mirrors the reference's aliases + error
+    assert OCR(decode_method="ctc").decode_method == "ctc"
+    assert OCR(decode_method="accurate").decode_method == "decoder"
+    with pytest.raises(ValueError, match="decode_method"):
+        OCR(decode_method="turbo")
+
+    # decoder/beam paths run the transformer (gibberish without trained
+    # weights, but deterministic and contract-shaped)
+    beam = OCR(det_method="legacy", decode_method="beam")
+    r1 = beam.process_document(str(p))
+    r2 = beam.process_document(str(p))
+    assert [x["text"] for x in r1] == [x["text"] for x in r2]
+    assert all(0.0 <= x["confidence"] <= 1.0 for x in r1)
+
+
+def test_facade_words_and_blocks_levels():
+    """detector facade parity: words fall back to the legacy component
+    path for every method (reference detector/__init__.py:293-297);
+    blocks group the method's lines via the legacy block logic."""
+    from kiri_ocr_spark.imaging.glyphs import render_page
+    from kiri_ocr_spark.operators.facade import TextDetector
+
+    page = render_page(["alpha beta", "gamma delta epsilon"])
+    det = TextDetector(method="legacy")
+    words = det.detect_words(page)
+    assert len(words) == 5
+    blocks = det.detect_blocks(page)
+    assert len(blocks) >= 1
+    # the block hull spans both lines
+    x, y, w, h = blocks[0]
+    assert h > page.shape[0] * 0.4
