@@ -142,6 +142,58 @@ class TextDetector:
             for idx in group_blocks(lines)
         ]
 
+    def detect_characters(self, gray: np.ndarray) -> list[tuple[int, int, int, int]]:
+        """Character-level boxes — always the legacy component path, like
+        the reference facade (detector/__init__.py:323-325): the filtered
+        candidate components ARE the character level."""
+        gray = invert_if_dark(np.asarray(gray, dtype=np.uint8))
+        ink = binarize(gray)
+        kept = multi_method_candidates(gray, ink)
+        if len(kept):
+            kept = filter_components(kept, gray.shape[1], gray.shape[0])
+            kept = relative_size_filter(kept)
+        if len(kept) == 0:
+            return []
+        order = np.lexsort((kept[:, 0], kept[:, 1]))
+        return [
+            (int(b[0]), int(b[1]), int(b[2]), int(b[3])) for b in kept[order]
+        ]
+
+    def detect_all(self, gray: np.ndarray) -> list[dict]:
+        """Full hierarchy (reference detect_all, legacy detector.py:137-147
+        / facade :327-329): blocks containing their lines containing their
+        words, as nested dicts (the TextBox tree's data without the
+        class)."""
+        gray = invert_if_dark(np.asarray(gray, dtype=np.uint8))
+        lines = self.detect_boxes(gray)
+        words = self.detect_words(gray)
+
+        def inside(inner, outer) -> bool:
+            ix, iy, iw, ih = inner[:4]
+            ox, oy, ow, oh = outer[:4]
+            cx, cy = ix + iw / 2, iy + ih / 2
+            return ox <= cx <= ox + ow and oy <= cy <= oy + oh
+
+        out = []
+        if len(lines) == 0:
+            return out
+        for idx in group_blocks(lines):
+            hull = bbox_hull(lines[idx])
+            block_box = tuple(int(v) for v in hull[:4])
+            block_lines = []
+            for li in idx:
+                lb = tuple(int(v) for v in lines[li][:4])
+                block_lines.append(
+                    {
+                        "bbox": lb,
+                        "words": [
+                            {"bbox": w} for w in words if inside(w, lb)
+                        ],
+                    }
+                )
+            out.append({"bbox": block_box, "lines": block_lines})
+        return out
+
     # -- backends ----------------------------------------------------------
 
     def _legacy_boxes(self, gray: np.ndarray) -> np.ndarray:

@@ -178,3 +178,27 @@ def test_facade_words_and_blocks_levels():
     # the block hull spans both lines
     x, y, w, h = blocks[0]
     assert h > page.shape[0] * 0.4
+
+
+def test_facade_characters_and_hierarchy():
+    """Remaining facade levels (reference detector/__init__.py:323-329):
+    characters are the filtered candidate components; detect_all nests
+    blocks -> lines -> words with every word assigned to its line."""
+    from kiri_ocr_spark.imaging.glyphs import render_page
+    from kiri_ocr_spark.operators.facade import TextDetector
+
+    page = render_page(["ab cd", "efg h"])
+    det = TextDetector(method="legacy")
+    chars = det.detect_characters(page)
+    assert len(chars) >= 7  # at least one component per glyph
+    tree = det.detect_all(page)
+    assert len(tree) >= 1
+    n_lines = sum(len(b["lines"]) for b in tree)
+    n_words = sum(len(ln["words"]) for b in tree for ln in b["lines"])
+    assert n_lines == 2 and n_words == 4
+    for b in tree:
+        for ln in b["lines"]:
+            for w in ln["words"]:
+                wx, wy, ww, wh = w["bbox"]
+                lx, ly, lw, lh = ln["bbox"]
+                assert lx <= wx + ww / 2 <= lx + lw
