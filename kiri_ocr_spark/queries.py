@@ -1298,6 +1298,51 @@ FROM per_doc GROUP BY phrase HAVING count(*) >= {_PHRASE_MIN_DOCS}
 
 
 # --------------------------------------------------------------------------
+# 16d. Unigram log-perplexity (the CCNet-family LM-quality filter with the
+#      honest in-sandbox LM: the corpus's own unigram distribution).
+#      Per doc: mean -log2 p(token) under corpus-wide token frequencies —
+#      outlier docs (rare-token soup) score high and get filtered in real
+#      pipelines. Scale shape: the unigram table is a map-side-combinable
+#      two-level agg whose result is vocabulary-sized (tiny next to the
+#      corpus) and broadcasts into the scoring join.
+# --------------------------------------------------------------------------
+
+
+def q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text")).select(
+        "doc_id", F.expr(f"split({_SPARK_NORM}, ' ')").alias("toks")
+    )
+    tokens = d.select("doc_id", F.explode("toks").alias("t"))
+    tokens = tokens.localCheckpoint(eager=False)  # one pass feeds freq + score
+    total = tokens.count()
+    freq = tokens.groupBy("t").agg(F.count("*").alias("c"))
+    scored = tokens.join(F.broadcast(freq), "t").withColumn(
+        "nll", -F.log2(F.col("c") / F.lit(float(total)))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg("nll"), 6).alias("mean_nll_bits"),
+    )
+
+
+_UNIGRAM_PPL_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split({_DUCK_NORM}, ' ') AS toks FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS t FROM d
+), n AS (
+  SELECT count(*)::DOUBLE AS total FROM tok
+), freq AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+)
+SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-log2(freq.c / n.total)), 6) AS mean_nll_bits
+FROM tok JOIN freq USING (t), n
+GROUP BY tok.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # 17. Language-ID heuristic vs labeled lang (confusion counts)
 # --------------------------------------------------------------------------
 
@@ -2758,6 +2803,7 @@ def query_registry() -> dict[str, QueryFn]:
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "repetition_stats": q_repetition_stats,
+        "unigram_logppl": q_unigram_logppl,
         "common_phrases": q_common_phrases,
         "lang_pred": q_lang_pred,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2809,6 +2855,7 @@ def oracle_registry() -> dict[str, str]:
         "token_stats": _TOKEN_STATS_SQL.strip(),
         "quality_score": _quality_sql().strip(),
         "repetition_stats": _REPETITION_SQL.strip(),
+        "unigram_logppl": _UNIGRAM_PPL_SQL.strip(),
         "common_phrases": _COMMON_PHRASES_SQL.strip(),
         "lang_pred": _LANG_PRED_SQL.strip(),
         "doc_fingerprint": _FINGERPRINT_SQL.strip(),
