@@ -41,10 +41,11 @@ def run_extract(args: argparse.Namespace) -> int:
         boxes = detect_lines(gray, ink=ink)
     else:
         # the reference facade's method switch (detector/__init__.py:34):
-        # craft/db fall back to legacy in-sandbox (no neural weights) with
-        # the facade's own warning. Facade boxes carry padding; the
-        # template recognizer needs tight ink-aligned crops, so each box
-        # is snapped to the ink bounds inside it before recognition.
+        # craft/db resolve the in-repo numpy forwards by default and run
+        # the real heatmap path; legacy fallback only fires if backend
+        # resolution fails. Facade boxes carry padding; the template
+        # recognizer needs tight ink-aligned crops, so each box is
+        # snapped to the ink bounds inside it before recognition.
         from .operators.facade import TextDetector
 
         boxes = TextDetector(method=args.method).detect_boxes(gray)
@@ -148,7 +149,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=["projection", "craft", "db", "legacy"],
         help="detector: 'projection' (CC+projection-profile exactness "
         "path, default) or the reference facade methods craft/db/legacy "
-        "(craft/db fall back to legacy without neural weights)",
+        "(craft/db run the in-repo numpy forwards by default)",
     )
     ex.add_argument("--json", action="store_true")
     ex.add_argument("--overlay", action="store_true")

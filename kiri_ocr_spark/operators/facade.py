@@ -42,10 +42,34 @@ from .detect import (
 from .finders import estimate_text_metrics, multi_method_candidates
 
 
+def default_heatmap_fn(method: str) -> Callable | None:
+    """Resolve the in-repo numpy forward for a neural method — the
+    reference constructs its DB/CRAFT model from bundled weights by
+    default (detector/__init__.py:25-60); here the bundled 'weights' are
+    the hand-constructed forwards of ``db_forward``/``craft_forward``.
+    Returns None when the backend genuinely can't load (the reference's
+    missing-weights condition), which triggers the legacy fallback."""
+    try:
+        if method == "db":
+            from .db_forward import db_prob_map
+
+            return db_prob_map
+        if method == "craft":
+            from .craft_forward import craft_maps
+
+            return craft_maps
+    except ImportError:
+        return None
+    return None
+
+
 class TextDetector:
-    """method='craft'|'db'|'legacy'; falls back to 'legacy' when the
-    chosen neural backend has no ``heatmap_fn`` (the reference falls back
-    when weights/runtime are missing)."""
+    """method='craft'|'db'|'legacy'; a neural method with no explicit
+    ``heatmap_fn`` resolves the in-repo numpy forward via
+    ``default_heatmap_fn`` and only falls back to 'legacy' (with the
+    reference's warning) when that resolution fails — mirroring the
+    reference, whose facade instantiates its bundled model by default and
+    falls back only when weights/runtime are missing."""
 
     def __init__(
         self,
@@ -55,6 +79,8 @@ class TextDetector:
     ):
         if method not in ("craft", "db", "legacy"):
             raise ValueError(f"unknown method {method!r}")
+        if method in ("craft", "db") and heatmap_fn is None:
+            heatmap_fn = default_heatmap_fn(method)
         if method in ("craft", "db") and heatmap_fn is None:
             warnings.warn(
                 f"{method} backend needs a heatmap_fn (neural forward pass); "

@@ -109,6 +109,97 @@ WHERE n_media > 0
 
 
 # --------------------------------------------------------------------------
+# 2b. Neural-detector facade paths (M5 DB / M6 CRAFT) driven through Spark.
+#     The numpy forwards carry HAND-CONSTRUCTED weights (trained weights
+#     are the one external input), so exact line-count parity is out of
+#     reach by design — the reference's own DB path emits word-level
+#     regions, not render lines (detector/db/model.py:280-333). What IS
+#     deterministic by construction, and what a user of the facade relies
+#     on, is per-page: the method resolves its in-repo forward (no silent
+#     constructor fallback), at least one region comes back on every
+#     non-blank page, every region sits on ink, every region clears the
+#     postprocess confidence floor — plus the page geometry the renderer
+#     guarantees. Those are the oracled columns.
+# --------------------------------------------------------------------------
+
+
+def _facade_detect_batches(method: str):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .imaging.png import decode_gray
+        from .operators.detect import binarize, invert_if_dark
+        from .operators.facade import TextDetector
+
+        det = TextDetector(method=method)
+        resolved = det.method == method  # default numpy forward resolved
+        for pdf in batches:
+            refs, heights, found, on_ink, conf_ok = [], [], [], [], []
+            for ref, blob in zip(pdf["media_ref"], pdf["png_bytes"]):
+                gray = decode_gray(bytes(blob))
+                boxes = det.detect_boxes(gray)
+                ink = binarize(invert_if_dark(gray)) > 0
+                all_on = resolved and len(boxes) > 0
+                c_ok = resolved and len(boxes) > 0
+                for x, y, w, h, conf in boxes:
+                    x0, y0 = max(int(x), 0), max(int(y), 0)
+                    if not ink[y0 : int(y + h) + 1, x0 : int(x + w) + 1].any():
+                        all_on = False
+                    if conf < 0.5:
+                        c_ok = False
+                refs.append(ref)
+                heights.append(gray.shape[0])
+                found.append(resolved and len(boxes) >= 1)
+                on_ink.append(all_on)
+                conf_ok.append(c_ok)
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "height": heights,
+                    "found": found,
+                    "on_ink": on_ink,
+                    "conf_ok": conf_ok,
+                }
+            )
+
+    return fn
+
+
+_FACADE_DETECT_SCHEMA = (
+    "media_ref string, height int, found boolean, on_ink boolean, "
+    "conf_ok boolean"
+)
+
+
+def q_media_line_detect_db(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, media = build_fixture(spark, sf_dir)
+    return media.mapInPandas(
+        _facade_detect_batches("db"), schema=_FACADE_DETECT_SCHEMA
+    )
+
+
+def q_media_line_detect_craft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, media = build_fixture(spark, sf_dir)
+    return media.mapInPandas(
+        _facade_detect_batches("craft"), schema=_FACADE_DETECT_SCHEMA
+    )
+
+
+_FACADE_DETECT_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 3 + CASE WHEN doc_id % 97 = 0 THEN 16 ELSE 0 END AS n_media
+  FROM documents
+)
+SELECT 'img_' || doc_id || '_' || m AS media_ref,
+       CAST(20 + 2 * (10 * (CASE WHEN m % 2 = 1 THEN 2 ELSE 1 END)
+                      + 4 * (CASE WHEN m % 2 = 1 THEN 1 ELSE 0 END)) AS INT)
+         AS height,
+       TRUE AS found, TRUE AS on_ink, TRUE AS conf_ok
+FROM d, unnest(generate_series(0, n_media - 1)) AS g(m)
+WHERE n_media > 0
+"""
+
+
+# --------------------------------------------------------------------------
 # 3. Text normalizer (F1/F2)
 # --------------------------------------------------------------------------
 
@@ -2782,6 +2873,8 @@ def query_registry() -> dict[str, QueryFn]:
     return {
         "extract_spans": q_extract_spans,
         "media_line_detect": q_media_line_detect,
+        "media_line_detect_db": q_media_line_detect_db,
+        "media_line_detect_craft": q_media_line_detect_craft,
         "normalize_text": q_normalize_text,
         "vocab_chars": q_vocab_chars,
         "reading_order_rn": q_reading_order_rn,
@@ -2832,6 +2925,8 @@ def oracle_registry() -> dict[str, str]:
     return {
         "extract_spans": expected_sql("documents"),
         "media_line_detect": _MEDIA_DETECT_SQL.strip(),
+        "media_line_detect_db": _FACADE_DETECT_SQL.strip(),
+        "media_line_detect_craft": _FACADE_DETECT_SQL.strip(),
         "normalize_text": _NORMALIZE_SQL.strip(),
         "vocab_chars": _VOCAB_SQL.strip(),
         "reading_order_rn": _READING_ORDER_SQL.strip(),

@@ -187,10 +187,27 @@ def test_detector_facade_method_switch_and_fallback():
     from kiri_ocr_spark.operators.facade import TextDetector
 
     page = render_page(["facade test line", "second line"])
-    # no heatmap_fn -> fallback to legacy (reference missing-weights path)
+    # no heatmap_fn -> the in-repo numpy forward resolves by default (the
+    # reference instantiates its bundled model), no warning, no fallback
     with w.catch_warnings(record=True) as caught:
         w.simplefilter("always")
         det = TextDetector(method="craft")
+    assert det.method == "craft" and not caught
+    from kiri_ocr_spark.operators.craft_forward import craft_maps
+
+    assert det.heatmap_fn is craft_maps
+    assert TextDetector(method="db").heatmap_fn.__name__ == "db_prob_map"
+
+    # backend resolution failure -> legacy fallback WITH the reference's
+    # warning (detector/__init__.py:115-151 missing-weights behavior)
+    from unittest import mock
+
+    import kiri_ocr_spark.operators.facade as facade_mod
+
+    with mock.patch.object(facade_mod, "default_heatmap_fn", lambda m: None):
+        with w.catch_warnings(record=True) as caught:
+            w.simplefilter("always")
+            det = TextDetector(method="craft")
     assert det.method == "legacy" and caught
     legacy_boxes = det.detect_boxes(page)
     assert len(legacy_boxes) == 2  # construction-known line count
