@@ -13,13 +13,20 @@ the role the reference's OCR class plays (its own batch story is a
 Python loop). Method/decode switches mirror the reference:
 
 - ``det_method``: 'legacy' | 'db' | 'craft' through the TextDetector
-  facade (missing neural heatmap_fn -> legacy fallback with a warning).
+  facade (db/craft resolve the in-repo numpy forwards by default;
+  legacy fallback with a warning only if resolution fails).
 - ``decode_method`` (core.py:141-158 normalization, aliases included):
   'fast'/'ctc' -> the CTC template path (this engine's exactness path);
   'accurate'/'decoder' -> the numpy transformer's greedy decode;
   'beam' -> its beam search. The transformer weights load via the S3
   loader when ``model_path`` is given (save_model/load_model), else the
   deterministic seed build.
+
+INTENTIONAL default divergence: the reference defaults
+``decode_method='accurate'`` (its trained transformer beats its CTC
+head); this class defaults ``'fast'`` because in-sandbox the template
+CTC path is the exact one while the transformer runs seed weights —
+flip the default back when shipping trained weights via model_path.
 """
 
 from __future__ import annotations
@@ -233,6 +240,7 @@ class OCR:
                     "document_finished": region_num == total,
                     "region_start": False,
                     "box": [int(v) for v in box[:4]],
+                    "det_confidence": float(box[4]) if len(box) > 4 else 1.0,
                 }
             else:
                 all_texts.append(text)

@@ -36,10 +36,16 @@ from pyspark.sql import functions as F
 
 from ..pipeline import assemble_documents, extract_span_rows
 
+# v2: wall_ms split into kernel_ms (true per-partition kernel time) +
+# wave_wall_ms (per-wave constant). A checkpoint dir written by an older
+# schema must not be appended to — mixed-schema parquet makes metric
+# reads file-order dependent — so every row carries schema_version and
+# both the reader and the writer refuse unversioned (pre-v2) dirs.
+CHECKPOINT_SCHEMA_VERSION = 2
 CHECKPOINT_SCHEMA = (
     "run_id string, part_id int, docs_done long, spans_done long, "
     "media_spans long, mean_conf double, kernel_ms long, wave_wall_ms long, "
-    "committed_at timestamp"
+    "committed_at timestamp, schema_version int"
 )
 
 
@@ -53,9 +59,16 @@ def committed_parts(spark: SparkSession, ckpt_dir: str, run_id: str) -> DataFram
     if os.path.isdir(ckpt_dir) and any(
         f.endswith(".parquet") for f in os.listdir(ckpt_dir)
     ):
+        table = spark.read.parquet(ckpt_dir)
+        if "schema_version" not in table.columns:
+            raise ValueError(
+                f"checkpoint dir {ckpt_dir!r} was written by a pre-v2 "
+                "schema (no schema_version column); appending would mix "
+                "schemas in one parquet table. Start a fresh checkpoint "
+                "dir — resume lineage does not carry across the upgrade."
+            )
         return (
-            spark.read.parquet(ckpt_dir)
-            .filter(F.col("run_id") == run_id)
+            table.filter(F.col("run_id") == run_id)
             .select("part_id")
             .distinct()
         )
@@ -138,8 +151,9 @@ def _run_pending(
             ),
             F.avg("conf").alias("mean_conf"),
             # A15: honest per-partition kernel time — the sum of the
-            # per-row batch-time shares the OCR kernel stamps, which
-            # differs per partition (unlike a wave-level wall stamp)
+            # per-row timings the OCR kernel stamps inside its row loop
+            # (each row carries its own measured cost, so skewed rows
+            # show up in their partition, unlike a wave-level stamp)
             (F.sum("kernel_us") / 1000).cast("long").alias("kernel_ms"),
         )
         .withColumn("run_id", F.lit(run_id))
@@ -148,6 +162,9 @@ def _run_pending(
             F.lit(int((time.monotonic() - t0) * 1000)).cast("long"),
         )
         .withColumn("committed_at", F.current_timestamp())
+        .withColumn(
+            "schema_version", F.lit(CHECKPOINT_SCHEMA_VERSION).cast("int")
+        )
         .select(
             "run_id",
             "part_id",
@@ -158,6 +175,7 @@ def _run_pending(
             "kernel_ms",
             "wave_wall_ms",
             "committed_at",
+            "schema_version",
         )
     )
     pdf = metrics.toPandas()  # small: one row per partition

@@ -81,8 +81,8 @@ def _ocr_batches(broadcast):
 
         _get_template_index(broadcast)
         for pdf in batches:
-            t0 = time.monotonic()
-            texts, confs, nlines = [], [], []
+            texts, confs, nlines, row_us = [], [], [], []
+            t_prev = time.monotonic()
             for blob in pdf["png_bytes"]:
                 # quarantine, don't crash: one corrupt payload among 10^12
                 # docs must not fail the task (and with it the wave).
@@ -98,10 +98,14 @@ def _ocr_batches(broadcast):
                 texts.append(text)
                 confs.append(conf)
                 nlines.append(n)
-            # per-row share of this batch's kernel time (µs): summing the
-            # column over any row grouping (e.g. checkpoint part_id) yields
-            # that group's true kernel wall, not a wave-level stamp
-            us_share = int((time.monotonic() - t0) * 1_000_000 / max(len(pdf), 1))
+                # true per-row kernel time (µs), stamped inside the row
+                # loop: summing the column over any row grouping (e.g.
+                # checkpoint part_id) yields that group's actual kernel
+                # wall — heavy rows (16-image skew-tail docs, corrupt
+                # payloads) carry their own cost, not a batch average
+                t_now = time.monotonic()
+                row_us.append(int((t_now - t_prev) * 1_000_000))
+                t_prev = t_now
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -111,7 +115,7 @@ def _ocr_batches(broadcast):
                     "media_ref": pdf["media_ref"],
                     "conf": confs,
                     "n_lines": nlines,
-                    "kernel_us": us_share,
+                    "kernel_us": row_us,
                 }
             )
 

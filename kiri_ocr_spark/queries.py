@@ -2144,6 +2144,10 @@ FROM hit
 _NEAR_DUP_TARGET_BUCKET = 32
 _NEAR_DUP_MIN_BITS, _NEAR_DUP_MAX_BITS = 4, 24
 _NEAR_DUP_MIN_BANDS, _NEAR_DUP_MAX_BANDS = 2, 4
+
+# observability: geometry + achieved recall of the last sign_lsh_geometry
+# call (the band clamp trades recall for join cost; see the warning there)
+_LAST_SIGN_LSH_GEOMETRY: dict | None = None
 _NEAR_DUP_COS = 0.99
 
 
@@ -2170,6 +2174,33 @@ def sign_lsh_geometry(
     else:
         need = math.ceil(math.log(1.0 - recall) / math.log(1.0 - per_band))
     bands = max(_NEAR_DUP_MIN_BANDS, min(need, _NEAR_DUP_MAX_BANDS))
+    # the band cap is a COST clamp (each band is one more shuffle-join
+    # column); when it binds, the recall target is not met — surface the
+    # achieved recall instead of silently abandoning the target (advisor
+    # r3). At bits=24 the 0.999 target needs ~18 bands; meeting it within
+    # 4 bands would need ~4-bit buckets = 10^10-row occupancy at web
+    # scale, so the honest knob is _NEAR_DUP_MAX_BANDS (linear cost), not
+    # fewer bits.
+    achieved = 1.0 - (1.0 - per_band) ** bands
+    global _LAST_SIGN_LSH_GEOMETRY
+    _LAST_SIGN_LSH_GEOMETRY = {
+        "n": n,
+        "bits": bits,
+        "bands": bands,
+        "bands_needed": need,
+        "target_recall": recall,
+        "achieved_recall": achieved,
+        "clamped": need > bands,
+    }
+    if need > bands:
+        import warnings
+
+        warnings.warn(
+            f"sign-LSH band clamp binds at n={n}: bits={bits} needs "
+            f"{need} bands for recall>={recall} at cos>={cos_thresh}, "
+            f"capped at {bands} -> achieved recall ~{achieved:.3f}. "
+            "Raise _NEAR_DUP_MAX_BANDS to buy recall linearly."
+        )
     return bits, bands
 
 

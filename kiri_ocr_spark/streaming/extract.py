@@ -319,13 +319,19 @@ def decode_step_events(df: DataFrame) -> DataFrame:
 
     def kernel(batches):
         from ..imaging.png import decode_gray
+        from ..operators.detect import invert_if_dark, resize_keep_ratio_pad
         from ..operators.model import get_model
 
         model = get_model()
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                gray = decode_gray(bytes(r["png"]))
+                # same P3 preprocessing as the batch decoder kernel
+                # (q_model_decode) and OCR._recognize_region — streaming
+                # and batch decodes of one region must agree bit-for-bit
+                gray = resize_keep_ratio_pad(
+                    invert_if_dark(decode_gray(bytes(r["png"])))
+                )
                 mem = model.encode(gray[None].astype("float32"))[0]
                 for ev in model.beam_decode_steps(mem):
                     rows.append(

@@ -113,6 +113,19 @@ def test_per_partition_kernel_time_is_distinct(spark, fixture_tables, tmp_path):
     assert heavy > light
 
 
+def test_pre_v2_checkpoint_dir_refused(spark, tmp_path):
+    """Schema-versioning guard (advisor r3): a checkpoint dir written by
+    the pre-rename schema (no schema_version column) must be refused, not
+    silently appended to — mixed-schema parquet makes metric reads
+    file-order dependent."""
+    ckpt = str(tmp_path / "old_ckpt")
+    spark.createDataFrame(
+        [("r1", 0, 5_000)], "run_id string, part_id int, wall_ms long"
+    ).write.parquet(ckpt)
+    with pytest.raises(ValueError, match="pre-v2"):
+        committed_parts(spark, ckpt, "r1")
+
+
 def test_part_id_stability(spark, fixture_tables):
     """part_id depends only on doc_id and n_parts — stable across runs and
     cluster sizes (resume correctness at any parallelism)."""

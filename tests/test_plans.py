@@ -394,3 +394,26 @@ def test_lsh_geometry_helper_properties():
     # exact power-of-two boundary: target*2^b == n needs exactly b bits
     assert lsh_bits_for(2 * 2**8) == 8
     assert lsh_bits_for(2 * 2**8 + 1) == 9
+
+    # band-clamp observability (advisor r3): when the cost cap binds, the
+    # achieved recall is surfaced (warning + _LAST_SIGN_LSH_GEOMETRY),
+    # never silently reported as the 0.999 target
+    import warnings as w
+
+    from kiri_ocr_spark import queries as Q
+
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        bits, bands = sign_lsh_geometry(10**12)
+    geo = Q._LAST_SIGN_LSH_GEOMETRY
+    assert geo["clamped"] and geo["bands_needed"] > bands
+    assert geo["achieved_recall"] < geo["target_recall"]
+    assert any("achieved recall" in str(c.message) for c in caught)
+    # small corpora meet the target without clamping, silently
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        sign_lsh_geometry(50)
+    geo = Q._LAST_SIGN_LSH_GEOMETRY
+    assert not geo["clamped"]
+    assert geo["achieved_recall"] >= geo["target_recall"]
+    assert not caught

@@ -276,7 +276,13 @@ def test_beam_retraction_changelog_end_to_end(spark, tmp_path):
         for _, r in grp.iterrows():
             cur = r["text"] if r["kind"] == "retract" else cur + r["token"]
         img = dict(imgs)[int(region)]
-        mem = model.encode(img[None].astype(np.float32))[0]
+        from kiri_ocr_spark.operators.detect import (
+            invert_if_dark,
+            resize_keep_ratio_pad,
+        )
+
+        pre = resize_keep_ratio_pad(invert_if_dark(img))  # the P3 contract
+        mem = model.encode(pre[None].astype(np.float32))[0]
         expect, conf = model.beam_decode(mem)
         assert cur == expect
         assert abs(grp.iloc[-1]["confidence"] - conf) < 1e-9
