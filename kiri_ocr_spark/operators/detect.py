@@ -33,24 +33,55 @@ def invert_if_dark(gray: np.ndarray) -> np.ndarray:
     return gray
 
 
-def otsu_threshold(gray: np.ndarray) -> float:
-    """Otsu's global threshold over a uint8 image (F10)."""
-    hist = np.bincount(gray.ravel(), minlength=256).astype(np.float64)
+_BIN_IDX = np.arange(256, dtype=np.float64)
+
+
+def _otsu_from_hist(hist: np.ndarray) -> float:
+    """Otsu's threshold from a 256-bin float histogram. masked np.divide
+    instead of an errstate context (the context manager alone cost ~10 µs
+    per call — material at ~100 µs/image kernel budget); values are
+    bit-identical to the previous where/errstate form."""
     total = hist.sum()
     if total == 0:
         return 127.0
     omega = np.cumsum(hist) / total
-    mu = np.cumsum(hist * np.arange(256)) / total
+    mu = np.cumsum(hist * _BIN_IDX) / total
     mu_t = mu[-1]
     denom = omega * (1.0 - omega)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        sigma_b = np.where(denom > 0, (mu_t * omega - mu) ** 2 / denom, 0.0)
+    num = mu_t * omega - mu
+    sigma_b = np.zeros(256, dtype=np.float64)
+    np.divide(num * num, denom, out=sigma_b, where=denom > 0)
     return float(np.argmax(sigma_b))
+
+
+def otsu_threshold(gray: np.ndarray) -> float:
+    """Otsu's global threshold over a uint8 image (F10)."""
+    return _otsu_from_hist(
+        np.bincount(gray.ravel(), minlength=256).astype(np.float64)
+    )
 
 
 def binarize(gray: np.ndarray) -> np.ndarray:
     """Ink mask: True where at or below the Otsu threshold (class-0 side)."""
     return gray <= otsu_threshold(gray)
+
+
+def orient_and_binarize(gray: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Fused P2 + F10 hot path: ``(invert_if_dark(gray), binarize(...))``
+    from ONE histogram pass. invert_if_dark's mean test and Otsu both
+    reduce the same pixel distribution, so the mean comes from the
+    histogram and inversion flips the histogram instead of re-scanning
+    the image (bincount(255 - g) == bincount(g)[::-1] exactly).
+    Bit-identical to the unfused pair — asserted against it in
+    tests/test_kernels.py over fixture pages of both polarities."""
+    hist = np.bincount(gray.ravel(), minlength=256).astype(np.float64)
+    total = hist.sum()
+    if total == 0:
+        return gray, np.zeros_like(gray, dtype=bool)
+    if float(hist @ _BIN_IDX) / total < 127.0:
+        gray = (255 - gray).astype(np.uint8)
+        hist = hist[::-1]
+    return gray, gray <= _otsu_from_hist(hist)
 
 
 def clahe(gray: np.ndarray, clip_limit: float = 2.0, tiles: int = 8) -> np.ndarray:

@@ -26,7 +26,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..imaging.glyphs import CHARSET, GLYPH_H, GLYPH_W, template_index
-from .detect import binarize, detect_lines, invert_if_dark
+from .detect import binarize, detect_lines, invert_if_dark, orient_and_binarize
 
 BLANK_ID = 0
 SPACE_ID = 1
@@ -175,8 +175,7 @@ def recognize_line(ink: np.ndarray, box: np.ndarray) -> tuple[str, float]:
 def extract_page_text(gray: np.ndarray) -> tuple[str, float, int]:
     """Full media-span kernel: detect lines, recognize each, join by \\n
     (reference assembly core.py:1160). Returns (text, mean_conf, n_lines)."""
-    gray = invert_if_dark(gray)
-    ink = binarize(gray)
+    gray, ink = orient_and_binarize(gray)  # fused P2+F10, one hist pass
     boxes = detect_lines(gray, ink=ink)
     texts: list[str] = []
     confs: list[float] = []

@@ -219,6 +219,27 @@ def test_segment_words_by_gap():
     assert [len(w) for w in words] == [2, 2]
 
 
+def test_orient_and_binarize_bit_identical_to_unfused():
+    """The fused hot-path (one histogram pass for P2 invert + F10 Otsu)
+    must equal binarize(invert_if_dark(...)) exactly, on both polarities,
+    noise, and degenerate flat images — it exists for speed only."""
+    from kiri_ocr_spark.operators.detect import orient_and_binarize
+
+    rng = np.random.default_rng(3)
+    pages = [
+        render_page(["fused hot path"], scale=SCALE),
+        render_page(["inverted", "page"], scale=SCALE, invert=True),
+        (rng.random((40, 120)) * 255).astype(np.uint8),
+        np.full((16, 16), 255, dtype=np.uint8),
+        np.zeros((16, 16), dtype=np.uint8),
+    ]
+    for p in pages:
+        g0 = invert_if_dark(p)
+        m0 = binarize(g0)
+        g1, m1 = orient_and_binarize(p)
+        assert (g0 == g1).all() and (m0 == m1).all()
+
+
 def test_select_top_binarizations_prefers_text_like():
     page = render_page(["some words here to score"], scale=SCALE)
     top = select_top_binarizations(page, k=3)

@@ -1,0 +1,190 @@
+"""Numpy training machinery (reference training.py:758-860 semantics):
+gradient correctness by central differences, forward parity with the
+inference model, and end-to-end learning on rendered crops."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kiri_ocr_spark.operators.model import CFG, NumpyKiriModel
+from kiri_ocr_spark.operators import train as T
+
+
+def tiny_model() -> NumpyKiriModel:
+    cfg = CFG()
+    cfg.D_MODEL = 16
+    cfg.N_HEADS = 2
+    cfg.N_ENC_LAYERS = 1
+    cfg.N_DEC_LAYERS = 1
+    cfg.FF_MULT = 2
+    return NumpyKiriModel(cfg)
+
+
+def test_enc_dec_forward_parity_with_inference_model():
+    """train.enc_fwd/dec_fwd must reproduce model.encode/_decode_step
+    exactly — trained weights drop into the inference paths unchanged."""
+    model = tiny_model()
+    rng = np.random.default_rng(0)
+    imgs = (rng.random((2, 48, 64)) * 255).astype(np.uint8)
+    params = T.trainable_params(model)
+
+    mem0 = T.stem_forward(model, imgs)
+    mem, _ = T.enc_fwd(params, model.cfg.N_ENC_LAYERS, model.cfg.N_HEADS, mem0)
+    ref = model.encode(imgs)
+    assert np.allclose(mem, ref, atol=1e-12)
+
+    dec_ids = np.array([[1, 5, 9], [1, 7, 2]])
+    logits, _ = T.dec_fwd(params, model.cfg.N_DEC_LAYERS, model.cfg.N_HEADS,
+                          dec_ids, mem)
+    ref_logits = model._decode_step(dec_ids, ref)
+    assert np.allclose(logits, ref_logits, atol=1e-12)
+
+
+def test_ctc_loss_numeric_gradient():
+    rng = np.random.default_rng(1)
+    logits = rng.normal(0, 1.0, size=(8, 6))
+    target = np.array([3, 2, 3])
+    loss, grad = T.ctc_loss_grad(logits, target)
+    assert np.isfinite(loss) and loss > 0
+    h = 1e-6
+    for t in range(8):
+        for v in range(6):
+            p = logits.copy()
+            p[t, v] += h
+            m = logits.copy()
+            m[t, v] -= h
+            num = (T.ctc_loss_grad(p, target)[0] - T.ctc_loss_grad(m, target)[0]) / (2 * h)
+            assert abs(num - grad[t, v]) < 1e-5, (t, v, num, grad[t, v])
+
+
+def test_ctc_loss_empty_target_learns_blanks():
+    rng = np.random.default_rng(2)
+    logits = rng.normal(0, 1.0, size=(5, 4))
+    loss, grad = T.ctc_loss_grad(logits, np.array([], dtype=np.int64))
+    # gradient pushes toward blank (id 0) at every frame
+    assert (grad[:, 0] < 0).all()
+    assert np.isfinite(loss)
+
+
+def test_joint_loss_numeric_gradient_spot_checks():
+    """Central-difference check of the FULL backprop (encoder + both
+    heads + decoder) on a handful of coordinates of every tensor kind."""
+    model = tiny_model()
+    rng = np.random.default_rng(3)
+    mem0 = rng.normal(0, 1.0, size=(2, 12, model.cfg.D_MODEL))
+    texts = ["ab", "c"]
+
+    def loss_of(params):
+        ctc, ce, _ = T._batch_loss_and_grads(model, params, mem0, texts)
+        return ctc + ce
+
+    params = T.trainable_params(model)
+    _, _, grads = T._batch_loss_and_grads(model, params, mem0, texts)
+    h = 1e-6
+    checked = 0
+    for name in [
+        "enc.layers.0.wq", "enc.layers.0.g1", "enc.layers.0.w1",
+        "enc_ln.g", "ctc_head.w", "ctc_head.b",
+        "dec.layers.0.sq", "dec.layers.0.cq", "dec.layers.0.ck",
+        "dec.layers.0.w2", "dec.layers.0.g3",
+        "dec_emb.weight", "lm_head.w",
+    ]:
+        arr = params[name]
+        flat_idx = rng.integers(0, arr.size, size=3)
+        for fi in flat_idx:
+            idx = np.unravel_index(fi, arr.shape)
+            p = {k: v.copy() for k, v in params.items()}
+            p[name][idx] += h
+            m = {k: v.copy() for k, v in params.items()}
+            m[name][idx] -= h
+            num = (loss_of(p) - loss_of(m)) / (2 * h)
+            ana = grads[name][idx]
+            assert abs(num - ana) < 5e-5 * max(1.0, abs(num)), (
+                name, idx, num, ana,
+            )
+            checked += 1
+    assert checked >= 39
+
+
+def test_stem_fwd_parity_and_numeric_gradient():
+    """stem_fwd must equal the inference stem exactly, and conv backprop
+    must match central differences through the full joint loss."""
+    model = tiny_model()
+    rng = np.random.default_rng(5)
+    imgs = (rng.random((2, 16, 32)) * 255).astype(np.uint8)
+    params = T.trainable_params(model, train_stem=True)
+    mem0, _ = T.stem_fwd(params, imgs)
+    assert np.allclose(mem0, T.stem_forward(model, imgs), atol=1e-12)
+
+    texts = ["ab", "c"]
+
+    def loss_of(p):
+        ctc, ce, _ = T._batch_loss_and_grads(model, p, None, texts,
+                                             images=imgs.astype(np.float64))
+        return ctc + ce
+
+    _, _, grads = T._batch_loss_and_grads(model, params, None, texts,
+                                          images=imgs.astype(np.float64))
+    h = 1e-6
+    for name in ("stem.0.k", "stem.1.b", "stem.2.k"):
+        arr = params[name]
+        for fi in rng.integers(0, arr.size, size=3):
+            idx = np.unravel_index(fi, arr.shape)
+            p = {k: v.copy() for k, v in params.items()}
+            p[name][idx] += h
+            m = {k: v.copy() for k, v in params.items()}
+            m[name][idx] -= h
+            num = (loss_of(p) - loss_of(m)) / (2 * h)
+            ana = grads[name][idx]
+            assert abs(num - ana) < 5e-5 * max(1.0, abs(num)), (name, idx, num, ana)
+
+
+def test_training_learns_and_improves_cer():
+    """A short run on a few rendered crops must drive both losses down
+    and beat the seed weights' CER on the SAME crops (the full-corpus
+    held-out result is scripts/train_model.py's job; this is the law)."""
+    from kiri_ocr_spark.imaging.glyphs import SCALE, render_page
+    from kiri_ocr_spark.operators.detect import resize_keep_ratio_pad
+
+    model = tiny_model()
+    words = ["spark", "query", "join", "scan", "sort", "data", "row", "fast"]
+    samples = [
+        (w1 + " " + w2,
+         resize_keep_ratio_pad(render_page([w1 + " " + w2], scale=SCALE),
+                               target_w=256))
+        for w1 in words for w2 in words[:4]
+    ]
+    cer_seed = T.evaluate_cer(model, samples, method="ctc")
+    hist = T.train(model, samples, epochs=6, batch_size=8, lr=3e-3,
+                   lr_decay_at=(), log=lambda *_: None)
+    assert hist[-1][0] < hist[0][0] * 0.7  # CTC loss dropped
+    assert hist[-1][1] < hist[0][1] * 0.7  # CE loss dropped
+    cer_trained = T.evaluate_cer(model, samples, method="ctc")
+    assert cer_trained < cer_seed * 0.8
+    cer_dec = T.evaluate_cer(model, samples, method="decoder", limit=8)
+    assert np.isfinite(cer_dec)
+
+
+def test_trained_model_round_trips_through_loader(tmp_path):
+    """Trained weights must survive save_model/load_model bit-for-bit
+    (S3 loader is the cluster shipping path for the trained artifact)."""
+    from kiri_ocr_spark.imaging.glyphs import SCALE, render_page
+    from kiri_ocr_spark.operators.detect import resize_keep_ratio_pad
+    from kiri_ocr_spark.operators.model import load_model, save_model
+
+    model = tiny_model()
+    samples = [
+        (w, resize_keep_ratio_pad(render_page([w], scale=SCALE), target_w=256))
+        for w in ["alpha", "beta", "gamma", "delta"]
+    ]
+    T.train(model, samples, epochs=2, batch_size=4, log=lambda *_: None)
+    path = str(tmp_path / "trained.npz")
+    save_model(model, path)
+    loaded = load_model(path)
+    img = samples[0][1]
+    mem_a = model.encode(img[None].astype(np.float32))
+    mem_b = loaded.encode(img[None].astype(np.float32))
+    assert (mem_a == mem_b).all()
+    assert model.ctc_greedy(mem_a) == loaded.ctc_greedy(mem_b)
+    assert model.beam_decode(mem_a[0]) == loaded.beam_decode(mem_b[0])
