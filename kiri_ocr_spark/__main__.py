@@ -37,6 +37,18 @@ def run_extract(args: argparse.Namespace) -> int:
         gray = decode_gray(f.read())
     gray = invert_if_dark(gray)
     ink = binarize(gray)
+    if getattr(args, "model", None):
+        # trained weights: route through the OCR class's neural decode
+        # paths (same result-dict contract as the inline path below)
+        from .ocr import OCR
+
+        ocr = OCR(
+            model_path=args.model,
+            det_method="legacy" if args.method == "projection" else args.method,
+            decode_method=args.decode,
+        )
+        results = ocr.process_document(gray)
+        return _write_extract_sinks(args, gray, results)
     if args.method == "projection":
         boxes = detect_lines(gray, ink=ink)
     else:
@@ -78,8 +90,18 @@ def run_extract(args: argparse.Namespace) -> int:
                 "line_number": i,
             }
         )
-    full_text = "\n".join(r["text"] for r in results)
+    return _write_extract_sinks(args, gray, results)
 
+
+def _write_extract_sinks(args, gray, results) -> int:
+    """Reference sink set (cli.py:120-160): txt + stdout, optional JSON /
+    overlay PNG / HTML report."""
+    import numpy as np
+
+    from .imaging.overlay import draw_overlay, html_report
+    from .imaging.png import encode_gray
+
+    full_text = "\n".join(r["text"] for r in results)
     out_dir = args.out_dir
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "extracted_text.txt"), "w") as f:
@@ -150,6 +172,18 @@ def main(argv: list[str] | None = None) -> int:
         help="detector: 'projection' (CC+projection-profile exactness "
         "path, default) or the reference facade methods craft/db/legacy "
         "(craft/db run the in-repo numpy forwards by default)",
+    )
+    ex.add_argument(
+        "--model",
+        default=None,
+        help="trained weights (.npz from scripts/train_model.py): route "
+        "recognition through the neural decode paths",
+    )
+    ex.add_argument(
+        "--decode",
+        default="fast",
+        choices=["fast", "accurate", "beam"],
+        help="decode path when --model is given (reference aliases)",
     )
     ex.add_argument("--json", action="store_true")
     ex.add_argument("--overlay", action="store_true")

@@ -16,11 +16,14 @@ Python loop). Method/decode switches mirror the reference:
   facade (db/craft resolve the in-repo numpy forwards by default;
   legacy fallback with a warning only if resolution fails).
 - ``decode_method`` (core.py:141-158 normalization, aliases included):
-  'fast'/'ctc' -> the CTC template path (this engine's exactness path);
-  'accurate'/'decoder' -> the numpy transformer's greedy decode;
-  'beam' -> its beam search. The transformer weights load via the S3
-  loader when ``model_path`` is given (save_model/load_model), else the
-  deterministic seed build.
+  'fast'/'ctc' -> the loaded model's CTC head when ``model_path`` is
+  given (the reference's fast path; the in-sandbox-trained artifact
+  models/trained_small.npz decodes exactly, including words never seen
+  in training), else the glyph-template CTC construction (this
+  engine's no-weights exactness path); 'accurate'/'decoder' -> the
+  transformer's greedy decode; 'beam' -> its beam search. Weights load
+  via the S3 loader when ``model_path`` is given (save_model/
+  load_model), else the deterministic seed build.
 
 INTENTIONAL default divergence: the reference defaults
 ``decode_method='accurate'`` (its trained transformer beats its CTC
@@ -108,10 +111,12 @@ class OCR:
         x0, y0 = max(x - p, 0), max(y - p, 0)
         x1 = min(x + w + p, gray.shape[1])
         y1 = min(y + h + p, gray.shape[0])
-        if self.decode_method == "ctc":
-            # tighten to the ink bounds inside the (possibly padded) box:
-            # the template recognizer's unit-scale subsampling needs the
-            # crop aligned to the glyph grid, and detector paddings vary
+        if self.decode_method == "ctc" and self._model_path is None:
+            # no weights shipped: the template path is this engine's CTC
+            # exactness construction. Tighten to the ink bounds inside the
+            # (possibly padded) box: the template recognizer's unit-scale
+            # subsampling needs the crop aligned to the glyph grid, and
+            # detector paddings vary
             sub = ink[y0:y1, x0:x1]
             ys, xs = np.nonzero(sub)
             if len(ys) == 0:
@@ -120,10 +125,32 @@ class OCR:
             tw = int(xs.max()) - int(xs.min()) + 1
             th = int(ys.max()) - int(ys.min()) + 1
             return recognize_line(ink, np.array([tx0, ty0, tw, th]))
-        crop = gray[y0:y1, x0:x1]
+        # neural paths: tighten to the ink bounds (detector paddings vary
+        # by method) then restore the training geometry — the renderer's
+        # PAD_Y/PAD_X background margins around the line — before resize.
+        # This is the in-sandbox-trained artifact's preprocessing
+        # contract, the role the reference's normalize constants play for
+        # its weights.
+        from .imaging.glyphs import PAD_X, PAD_Y
+
+        sub = ink[y0:y1, x0:x1]
+        ys, xs = np.nonzero(sub)
+        if len(ys) == 0:
+            return "", 0.0
+        ty0, ty1 = y0 + int(ys.min()), y0 + int(ys.max()) + 1
+        tx0, tx1 = x0 + int(xs.min()), x0 + int(xs.max()) + 1
+        crop = np.pad(
+            gray[ty0:ty1, tx0:tx1],
+            ((PAD_Y, PAD_Y), (PAD_X, PAD_X)),
+            constant_values=255,
+        )
         mem = self.model.encode(
             resize_keep_ratio_pad(crop)[None].astype(np.float32)
         )[0]
+        if self.decode_method == "ctc":
+            # model_path given: 'fast' IS the loaded model's CTC head,
+            # exactly the reference's fast path (core.py:141-158)
+            return self.model.ctc_greedy(mem[None])[0]
         if self.decode_method == "beam":
             return self.model.beam_decode(mem)
         return self.model.greedy_decode(mem)

@@ -466,24 +466,36 @@ def char_frame_labels(text: str, page_w: int, page_h: int, tok,
     T = target_w // 4
     labels = np.zeros(T, dtype=np.int64)  # blank everywhere else
     new_w = max(1, round(page_w * target_h / page_h))
+    # a real space id exists only when the training charset includes ' '
+    # (the glyph charset has no space glyph; a space-augmented vocab lets
+    # the CTC head EMIT spaces instead of dropping them as unk)
+    sp = tok.encode(" ")
+    space_id = int(tok.raw_to_ctc(sp)[0]) if int(sp[0]) != tok.unk_id else None
+
+    def mark(a_px: float, b_px: float, cid: int) -> None:
+        a = a_px * new_w / page_w
+        b = b_px * new_w / page_w
+        for f in range(T):
+            center = 4 * f + 1.5
+            if a <= center < b:
+                labels[f] = cid
+
     x = 0
     first = True
     for ch in text:
         if ch == " ":
+            if space_id is not None:
+                mark(PAD_X + scale * x, PAD_X + scale * (x + SPACE_GAP),
+                     space_id)
             x += SPACE_GAP
             first = True
             continue
         if not first:
             x += CHAR_GAP
-        a = (PAD_X + scale * x) * new_w / page_w
-        b = (PAD_X + scale * (x + GLYPH_W)) * new_w / page_w
+        cid = int(tok.raw_to_ctc(tok.encode(ch))[0])
+        mark(PAD_X + scale * x, PAD_X + scale * (x + GLYPH_W), cid)
         x += GLYPH_W
         first = False
-        cid = int(tok.raw_to_ctc(tok.encode(ch))[0])
-        for f in range(T):
-            center = 4 * f + 1.5
-            if a <= center < b:
-                labels[f] = cid
     return labels
 
 
@@ -634,8 +646,15 @@ def _batch_loss_and_grads(model, params, mem0, texts, ctc_weight=1.0,
 
 def train(model: NumpyKiriModel, samples, *, epochs=8, batch_size=16,
           lr=2e-3, seed=7, train_stem=False, lr_decay_at=(0.6, 0.85),
-          align_epochs=0, log=print):
+          align_epochs=0, val_samples=None, val_every=0, val_limit=32,
+          val_history=None, log=print):
     """Train in place; returns per-epoch (ctc_loss, ce_loss) history.
+
+    A13 (reference training.py:865-949): when ``val_samples``/``val_every``
+    are set, every Nth epoch runs a sampled validation pass — held-out
+    CTC CER + exact-match rate — appended to ``val_history`` as
+    (epoch, cer, exact_rate) and logged; the during-training quality
+    signal the reference's validation loop provides.
 
     train_stem=True backprops into the conv stem too — necessary when the
     seed stem's content signal is too weak for CTC to localize characters
@@ -695,6 +714,14 @@ def train(model: NumpyKiriModel, samples, *, epochs=8, batch_size=16,
         history.append((ctc_sum / nb, ce_sum / nb))
         tag = "align" if warmup else "ctc"
         log(f"epoch {ep + 1}/{epochs}: {tag}={ctc_sum / nb:.4f} ce={ce_sum / nb:.4f}")
+        if val_every and val_samples is not None and (ep + 1) % val_every == 0:
+            apply_params(model, params)  # idempotent; params stay canonical
+            val = val_samples[:val_limit]
+            cer = evaluate_cer(model, val, method="ctc")
+            exact = exact_match_rate(model, val, method="ctc")
+            if val_history is not None:
+                val_history.append((ep + 1, round(cer, 4), round(exact, 4)))
+            log(f"  val@{ep + 1}: ctc_cer={cer:.4f} exact={exact:.3f}")
     apply_params(model, params)
     return history
 
@@ -714,6 +741,27 @@ def edit_distance(a: str, b: str) -> int:
             cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
         prev = cur
     return prev[-1]
+
+
+def exact_match_rate(model: NumpyKiriModel, samples,
+                     method: str = "ctc", limit: int | None = None) -> float:
+    """A13's exact-match counter: fraction of samples whose decode equals
+    the reference text exactly."""
+    if limit:
+        samples = samples[:limit]
+    hits = 0
+    for s in range(0, len(samples), 32):
+        chunk = samples[s : s + 32]
+        mem = model.encode(np.stack([c[1] for c in chunk]).astype(np.float32))
+        for (ref, *_), mrow in zip(chunk, mem):
+            if method == "ctc":
+                hyp = model.ctc_greedy(mrow[None])[0][0]
+            elif method == "beam":
+                hyp, _ = model.beam_decode(mrow)
+            else:
+                hyp, _ = model.greedy_decode(mrow)
+            hits += int(hyp == ref)
+    return hits / max(len(samples), 1)
 
 
 def evaluate_cer(model: NumpyKiriModel, samples, method: str = "decoder",

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .fixtures import build_fixture, expected_sql
+from .fixtures import _tok, build_fixture, expected_sql
 from .functions.text import cer, char_accuracy, normalize_text
 from .pipeline import extract_flat
 
@@ -2711,6 +2711,107 @@ WHERE n_media > 0
 """
 
 
+def trained_model_path() -> str:
+    """Committed in-sandbox-trained artifact (scripts/train_model.py);
+    ships to executors via ``spark-submit --files`` on a real cluster —
+    in local mode the repo path is visible to every worker directly."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "models",
+        "trained_small.npz",
+    )
+
+
+def q_model_decode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LINE neural decode of the sampled media pages through the
+    in-sandbox-TRAINED weights (models/trained_small.npz, produced by
+    scripts/train_model.py; loaded via the S3 artifact path + M8
+    per-worker cache), value-matched against the construction oracle's
+    expected line text — the same bar as extract_spans, but the
+    recognizer is the trained numpy transformer's CTC head, not the
+    template path. Preprocessing restores the training geometry (the
+    renderer's PAD_X/PAD_Y margins around each detected line) before
+    resize — a deployed model ships with its preprocessing contract,
+    exactly like the reference's ImageNet-normalize + /32-resize."""
+    from .fixtures import build_fixture as _bf
+
+    _, media = _bf(spark, sf_dir)
+    sample = media.filter(
+        F.expr("cast(split(media_ref, '_')[1] as bigint) % 37 = 0")
+    ).select("media_ref", "png_bytes")
+    path = trained_model_path()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .imaging.glyphs import PAD_X, PAD_Y
+        from .imaging.png import decode_gray
+        from .operators.detect import (
+            detect_lines,
+            invert_if_dark,
+            resize_keep_ratio_pad,
+        )
+        from .operators.model import get_model
+
+        model = get_model(path=path)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            refs, line_nos, crops = [], [], []
+            for ref, blob in zip(pdf["media_ref"], pdf["png_bytes"]):
+                gray = invert_if_dark(decode_gray(bytes(blob)))
+                for i, b in enumerate(detect_lines(gray)):
+                    x, y, w, h = (int(v) for v in b[:4])
+                    crop = np.pad(
+                        gray[y : y + h, x : x + w],
+                        ((PAD_Y, PAD_Y), (PAD_X, PAD_X)),
+                        constant_values=255,
+                    )
+                    refs.append(ref)
+                    line_nos.append(i)
+                    crops.append(resize_keep_ratio_pad(crop))
+            if not crops:
+                continue
+            mem = model.encode(np.stack(crops).astype(np.float32))
+            texts = [t for t, _ in model.ctc_greedy(mem)]
+            yield pd.DataFrame(
+                {"media_ref": refs, "line_no": line_nos, "text": texts}
+            )
+
+    return sample.mapInPandas(
+        fn, schema="media_ref string, line_no int, text string"
+    )
+
+
+_MODEL_DECODE_TRAINED_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks,
+         doc_id % 3 + CASE WHEN doc_id % 97 = 0 THEN 16 ELSE 0 END AS n_media
+  FROM documents
+  WHERE doc_id % 37 = 0
+), d2 AS (
+  SELECT doc_id, toks, len(toks) AS nt, n_media FROM d
+), m AS (
+  SELECT doc_id, toks, nt, m FROM d2,
+         unnest(generate_series(0, n_media - 1)) AS g(m)
+  WHERE n_media > 0
+)
+SELECT 'img_' || doc_id || '_' || m AS media_ref, CAST(0 AS INT) AS line_no,
+       CASE WHEN m % 2 = 1
+            THEN {_tok('m*3', 0)} || ' ' || {_tok('m*3', 1)}
+            ELSE {_tok('m*3', 0)} || ' ' || {_tok('m*3', 1)} || ' ' || {_tok('m*3', 2)}
+       END AS text
+FROM m
+UNION ALL
+SELECT 'img_' || doc_id || '_' || m AS media_ref, CAST(1 AS INT) AS line_no,
+       {_tok('m*3', 2)} AS text
+FROM m WHERE m % 2 = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # 23c2. Pipeline health — the operational metric a 10^12-doc run watches:
 #       per-kind span counts plus the dead-letter rates (quarantined
@@ -2974,6 +3075,7 @@ def query_registry() -> dict[str, QueryFn]:
         "word_segmentation": q_word_segmentation,
         "finder_candidates": q_finder_candidates,
         "model_decode": q_model_decode,
+        "model_decode_trained": q_model_decode_trained,
         "pipeline_health": q_pipeline_health,
         "sample_stratified": q_sample_stratified,
         "token_shards": q_token_shards,
@@ -3038,6 +3140,7 @@ def oracle_registry() -> dict[str, str]:
         "word_segmentation": _WORD_SEG_SQL.strip(),
         "finder_candidates": _FINDER_SQL.strip(),
         "model_decode": _MODEL_DECODE_SQL.strip(),
+        "model_decode_trained": _MODEL_DECODE_TRAINED_SQL.strip(),
         "pipeline_health": _PIPELINE_HEALTH_SQL.strip(),
         "sample_stratified": _sample_stratified_sql().strip(),
         "token_shards": _TOKEN_SHARDS_SQL.strip(),

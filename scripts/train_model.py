@@ -5,8 +5,11 @@ and save the artifact through the S3 loader (save_model), closing the
 IN-sandbox (reference training loop: training.py:758-860 — CTC +
 teacher-forced CE; this is the same objective via numpy backprop).
 
-Usage: python scripts/train_model.py [sf_dir] [out_prefix]
-Defaults: /root/testdata/sf0.001, models/trained_small
+Usage: python scripts/train_model.py [sf_dirs_comma_sep] [out_prefix]
+Defaults: /root/testdata/sf0.001,/root/testdata/sf0.01  models/trained_small
+(two corpora double the glyph x-phase coverage — a single-sf run left a
+one-char generalization miss at sf0.1; held-out docs are excluded from
+BOTH)
 
 Deterministic end to end: seed init (model SEED), seeded shuffle, no
 dropout — rerunning reproduces the artifact bit-for-bit.
@@ -23,17 +26,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    sf_dirs = (
+        sys.argv[1] if len(sys.argv) > 1
+        else "/root/testdata/sf0.001,/root/testdata/sf0.01"
+    ).split(",")
+    sf_dir = sf_dirs[0]  # held-out CER is reported on the first corpus
     out = sys.argv[2] if len(sys.argv) > 2 else "models/trained_small"
 
     from kiri_ocr_spark.operators import train as T
     from kiri_ocr_spark.operators.model import CFG, NumpyKiriModel, save_model
 
     t0 = time.monotonic()
-    train_set, heldout = T.fixture_line_crops(sf_dir)
-    print(f"crops: train={len(train_set)} heldout={len(heldout)}")
+    # space-augmented charset: the glyph set has no space glyph, so the
+    # base tokenizer can only map ' ' to unk (dropped at decode). Adding
+    # ' ' to the model vocab lets the forced-alignment warmup label the
+    # SPACE_GAP frames and the CTC head emit real spaces — without it the
+    # best reachable CER is the space-deletion floor (~0.1 on this corpus).
+    from kiri_ocr_spark.imaging.glyphs import CHARSET
 
-    model = NumpyKiriModel(CFG())
+    cfg = CFG()
+    cfg.charset = list(CHARSET) + [" "]
+    model = NumpyKiriModel(cfg)
+    train_set, heldout = [], []
+    for d in sf_dirs:
+        tr, he = T.fixture_line_crops(d, tok=model.tok)
+        train_set += tr
+        heldout += he if d == sf_dir else []
+    print(f"crops: train={len(train_set)} heldout={len(heldout)}")
     report = {"sf_dir": sf_dir, "train": len(train_set), "heldout": len(heldout)}
     for method in ("ctc", "decoder", "beam"):
         lim = 64 if method != "ctc" else None
@@ -48,9 +67,12 @@ def main() -> int:
     # 1e-6) and never recovers; then plain CTC + decoder CE fine-tune.
     # The conv stem trains too (its seed content signal is ~7x below the
     # positional encoding).
+    val_history: list = []
     hist = T.train(model, train_set, epochs=44, batch_size=16, lr=3e-3,
-                   train_stem=True, align_epochs=30, lr_decay_at=(0.75, 0.92))
+                   train_stem=True, align_epochs=30, lr_decay_at=(0.75, 0.92),
+                   val_samples=heldout, val_every=4, val_history=val_history)
     report["loss_history"] = [[round(a, 4), round(b, 4)] for a, b in hist]
+    report["val_history"] = val_history  # A13: (epoch, ctc_cer, exact_rate)
 
     for method in ("ctc", "decoder", "beam"):
         lim = 64 if method != "ctc" else None

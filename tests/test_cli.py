@@ -216,3 +216,62 @@ def test_facade_characters_and_hierarchy():
                 wx, wy, ww, wh = w["bbox"]
                 lx, ly, lw, lh = ln["bbox"]
                 assert lx <= wx + ww / 2 <= lx + lw
+
+
+def test_ocr_trained_artifact_neural_ctc_exact():
+    """With the committed in-sandbox-trained weights, decode_method='fast'
+    routes through the MODEL's CTC head (the reference's fast path) and
+    must reproduce the page text exactly — including words that never
+    appear in the training corpus (glyph classification, not token
+    memorization)."""
+    import os
+
+    import pytest
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "models",
+        "trained_small.npz",
+    )
+    if not os.path.exists(path):
+        pytest.skip("trained artifact not built (scripts/train_model.py)")
+    from kiri_ocr_spark.imaging.glyphs import SCALE
+    from kiri_ocr_spark.ocr import OCR
+
+    page = render_page(["hello spark world", "second line"], scale=SCALE)
+    png = encode_gray(page)
+    img = tmp = None
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".png", delete=False) as f:
+        f.write(png)
+        tmp = f.name
+    try:
+        ocr = OCR(model_path=path, decode_method="fast")
+        text, results = ocr.extract_text(tmp)
+        assert text == "hello spark world\nsecond line"
+        assert all(r["confidence"] > 0.9 for r in results)
+        # no model_path -> the template construction still answers exactly
+        assert OCR(decode_method="fast").extract_text(tmp)[0] == text
+    finally:
+        os.unlink(tmp)
+
+
+def test_extract_with_trained_model_flag(page_png, tmp_path):
+    """CLI --model routes recognition through the trained neural decode
+    (exact on this page, including out-of-training-vocabulary words)."""
+    import os
+
+    import pytest as _pytest
+
+    model = os.path.join(REPO, "models", "trained_small.npz")
+    if not os.path.exists(model):
+        _pytest.skip("trained artifact not built (scripts/train_model.py)")
+    r = run_cli(
+        "extract", page_png, "--out-dir", str(tmp_path / "tm"),
+        "--model", model, "--decode", "fast", "--json",
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert r.stdout.strip().splitlines() == ["hello spark world", "second line"]
+    results = json.loads((tmp_path / "tm" / "ocr_results.json").read_text())
+    assert all(x["confidence"] > 0.9 for x in results)

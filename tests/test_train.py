@@ -156,14 +156,39 @@ def test_training_learns_and_improves_cer():
         for w1 in words for w2 in words[:4]
     ]
     cer_seed = T.evaluate_cer(model, samples, method="ctc")
+    val_history: list = []
     hist = T.train(model, samples, epochs=6, batch_size=8, lr=3e-3,
-                   lr_decay_at=(), log=lambda *_: None)
+                   lr_decay_at=(), val_samples=samples[:8], val_every=3,
+                   val_history=val_history, log=lambda *_: None)
     assert hist[-1][0] < hist[0][0] * 0.7  # CTC loss dropped
     assert hist[-1][1] < hist[0][1] * 0.7  # CE loss dropped
+    # A13: during-training validation sampled every val_every epochs
+    assert [e for e, _, _ in val_history] == [3, 6]
+    assert all(0.0 <= c and 0.0 <= x <= 1.0 for _, c, x in val_history)
     cer_trained = T.evaluate_cer(model, samples, method="ctc")
     assert cer_trained < cer_seed * 0.8
     cer_dec = T.evaluate_cer(model, samples, method="decoder", limit=8)
     assert np.isfinite(cer_dec)
+
+
+def test_frame_labels_collapse_to_text_and_mark_spaces():
+    """Forced-alignment labels must CTC-collapse back to the text —
+    including real spaces when the vocab carries ' ' (the space-augmented
+    training charset), and dropping them when it doesn't."""
+    from kiri_ocr_spark.imaging.glyphs import CHARSET, SCALE, render_page
+    from kiri_ocr_spark.operators.model import CharTokenizer
+    from kiri_ocr_spark.operators.train import char_frame_labels
+
+    text = "ab cd e"
+    page = render_page([text], scale=SCALE)
+    base = CharTokenizer(list(CHARSET))
+    lab = char_frame_labels(text, page.shape[1], page.shape[0], base)
+    assert base.decode_ctc(lab) == "abcde"  # no space glyph -> dropped
+
+    sp = CharTokenizer(list(CHARSET) + [" "])
+    lab2 = char_frame_labels(text, page.shape[1], page.shape[0], sp)
+    assert sp.decode_ctc(lab2) == "ab cd e"  # spaces are real labels
+    assert (lab2 != 0).sum() > (lab != 0).sum()
 
 
 def test_trained_model_round_trips_through_loader(tmp_path):
