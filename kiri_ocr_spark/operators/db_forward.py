@@ -104,7 +104,26 @@ def _weights() -> dict[str, np.ndarray]:
     }
 
 
-_W = _weights()
+def _load_calibrated() -> dict | None:
+    """models/db_calibrated.npz — weights FITTED in-sandbox by
+    ``db_calibrate.calibrate`` (BCE against the renderer's ink masks)
+    starting from the hand construction below. When the artifact exists
+    the forward runs on fitted weights; the hand construction is the
+    no-artifact fallback (and the calibration init)."""
+    import os
+
+    p = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "models",
+        "db_calibrated.npz",
+    )
+    if not os.path.exists(p):
+        return None
+    with np.load(p) as z:
+        return {k: z[k] for k in z.files}
+
+
+_W = _load_calibrated() or _weights()
 
 
 def preprocess(resized_gray: np.ndarray) -> np.ndarray:

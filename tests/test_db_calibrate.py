@@ -1,0 +1,109 @@
+"""DB-forward calibration (M5 fitted weights): gradient laws, forward
+parity, artifact pickup, and the fitted map's region quality."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from kiri_ocr_spark.operators import db_calibrate as C
+from kiri_ocr_spark.operators import db_forward as D
+
+_ARTIFACT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "models",
+    "db_calibrated.npz",
+)
+
+
+def test_forward_cached_parity_with_db_forward():
+    rng = np.random.default_rng(0)
+    gray = (rng.random((32, 48)) * 255).astype(np.uint8)
+    x = D.preprocess(gray)
+    params = {k: v.astype(np.float64).copy() for k, v in D._weights().items()}
+    p_ref_w = D._W
+    try:
+        D._W = params
+        p_ref = D.forward(x)
+    finally:
+        D._W = p_ref_w
+    p_new, _ = C.forward_cached(params, x[0].transpose(1, 2, 0).astype(np.float64))
+    assert np.allclose(p_ref, p_new, atol=1e-12)
+
+
+def test_calibration_gradients_numeric():
+    """Central-difference check through conv stack + shared-weight double
+    conv3 + head + bilinear upsample + weighted BCE. Biases are jittered
+    so no pre-activation sits exactly on the ReLU kink (where numeric and
+    subgradient legitimately differ)."""
+    rng = np.random.default_rng(1)
+    x = rng.random((16, 24, 3)) * 2 - 1
+    t = (rng.random((16, 24)) > 0.85).astype(float)
+    params = {k: v.astype(np.float64).copy() for k, v in D._weights().items()}
+    for k in ("b1", "b2", "b3", "bh"):
+        params[k] = params[k] + rng.normal(0, 0.013, params[k].shape)
+    loss, grads = C.loss_and_grads(params, x, t)
+    assert np.isfinite(loss)
+    h = 1e-6
+    for name in ("w1", "b1", "w2", "w3", "b3", "wh", "bh"):
+        arr = params[name]
+        for fi in rng.integers(0, arr.size, size=2):
+            idx = np.unravel_index(fi, arr.shape)
+            p1 = {k: v.copy() for k, v in params.items()}
+            p1[name][idx] += h
+            p2 = {k: v.copy() for k, v in params.items()}
+            p2[name][idx] -= h
+            num = (C.loss_and_grads(p1, x, t)[0]
+                   - C.loss_and_grads(p2, x, t)[0]) / (2 * h)
+            assert abs(num - grads[name][idx]) < 5e-5 * max(1.0, abs(num)), (
+                name, idx, num, grads[name][idx],
+            )
+
+
+def test_upsample_backward_is_transpose():
+    """<U x, y> == <x, U^T y> for random x, y (exact adjointness)."""
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(6, 9))
+    y = rng.normal(size=(24, 36))
+    Ux = C._upsample_fwd(x, 24, 36)
+    Uty = C._upsample_bwd(y, 6, 9)
+    assert abs((Ux * y).sum() - (x * Uty).sum()) < 1e-9
+
+
+@pytest.mark.skipif(not os.path.exists(_ARTIFACT), reason="no artifact")
+def test_calibrated_artifact_beats_hand_weights_on_region_fit():
+    """The committed fitted weights must (a) be what db_forward actually
+    loaded, (b) keep the contract anchors (blank -> low, all-ink ->
+    high), and (c) fit the text-region mask far better than the hand
+    construction (measured IoU 0.92 vs 0.35 at calibration time)."""
+    from kiri_ocr_spark.imaging.glyphs import SCALE, render_page
+    from kiri_ocr_spark.operators.heatmap_post import (
+        _dilate_square,
+        resize_to_multiple_of_32,
+    )
+
+    loaded = D._load_calibrated()
+    assert loaded is not None
+    assert all((D._W[k] == loaded[k]).all() for k in loaded)
+
+    page = render_page(["calibrated db head", "second line"], scale=SCALE)
+    resized, _, _ = resize_to_multiple_of_32(page)
+    region = _dilate_square(resized < 128, 5)
+
+    def iou(W):
+        old = D._W
+        try:
+            D._W = W
+            pred = D.db_prob_map(resized) > 0.5
+        finally:
+            D._W = old
+        return (region & pred).sum() / max((region | pred).sum(), 1)
+
+    assert iou(loaded) > 0.75
+    assert iou(loaded) > iou(D._weights()) + 0.2
+    blank = np.full((64, 96), 255, dtype=np.uint8)
+    dark = np.zeros((64, 96), dtype=np.uint8)
+    assert D.db_prob_map(blank).max() < 0.3
+    assert D.db_prob_map(dark).mean() > 0.5
