@@ -50,7 +50,25 @@ def _weights() -> dict[str, np.ndarray]:
             "wh": wh, "bh": bh}
 
 
-_W = _weights()
+def _load_calibrated() -> dict | None:
+    """models/craft_calibrated.npz — weights FITTED in-sandbox by
+    ``craft_calibrate.calibrate`` (pixel-BCE against the renderer's
+    character-region and inter-character-affinity masks) from the hand
+    construction below, which remains the no-artifact fallback."""
+    import os
+
+    p = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "models",
+        "craft_calibrated.npz",
+    )
+    if not os.path.exists(p):
+        return None
+    with np.load(p) as z:
+        return {k: z[k] for k in z.files}
+
+
+_W = _load_calibrated() or _weights()
 
 
 def craft_maps(gray: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
