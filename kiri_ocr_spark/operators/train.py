@@ -529,6 +529,15 @@ def fixture_line_crops(sf_dir: str, max_docs: int | None = None,
             lines = [w[0] + " " + w[1], w[2]] if m % 2 == 1 else [" ".join(w)]
             for line in lines:
                 page = render_page([line], scale=SCALE)
+                if m % 5 == 3:
+                    # the fixture ships these pages as tinted truecolor;
+                    # after decode_gray the luma distribution is 27/239,
+                    # not 0/255 — train on exactly what the pipeline's
+                    # decode path produces (through the real codec)
+                    from ..fixtures import _tint_page
+                    from ..imaging.png import decode_gray, encode_rgb
+
+                    page = decode_gray(encode_rgb(_tint_page(page)))
                 img = resize_keep_ratio_pad(page)
                 lab = char_frame_labels(
                     line, page.shape[1], page.shape[0], tok
@@ -690,6 +699,17 @@ def train(model: NumpyKiriModel, samples, *, epochs=8, batch_size=16,
     for ep in range(epochs):
         if ep in decays:
             opt.lr *= 0.3
+        if align_epochs and ep == align_epochs:
+            # align -> CTC handoff: the CTC gradient against frame-CE-
+            # calibrated logits is violent, and the stale Adam moments
+            # amplify it — measured: the same schedule recovered in some
+            # runs and collapsed frame-constant (loss pinned ~35) in
+            # others. Fine-tune from the aligned state: drop lr and
+            # reset the optimizer moments for the new loss landscape.
+            opt.lr *= 0.3
+            opt.m = {k: np.zeros_like(v) for k, v in params.items()}
+            opt.v = {k: np.zeros_like(v) for k, v in params.items()}
+            opt.t = 0
         warmup = ep < align_epochs
         order = rng.permutation(len(samples))
         ctc_sum = ce_sum = 0.0

@@ -68,8 +68,8 @@ def main() -> int:
     # The conv stem trains too (its seed content signal is ~7x below the
     # positional encoding).
     val_history: list = []
-    hist = T.train(model, train_set, epochs=44, batch_size=16, lr=3e-3,
-                   train_stem=True, align_epochs=30, lr_decay_at=(0.75, 0.92),
+    hist = T.train(model, train_set, epochs=28, batch_size=16, lr=3e-3,
+                   train_stem=True, align_epochs=18, lr_decay_at=(0.93,),
                    val_samples=heldout, val_every=4, val_history=val_history)
     report["loss_history"] = [[round(a, 4), round(b, 4)] for a, b in hist]
     report["val_history"] = val_history  # A13: (epoch, ctc_cer, exact_rate)
