@@ -499,6 +499,24 @@ def char_frame_labels(text: str, page_w: int, page_h: int, tok,
     return labels
 
 
+def render_crop(line: str, tok, tinted: bool = False):
+    """One training sample from a line text: (line, preprocessed crop,
+    forced-alignment frame labels) — the same construction
+    fixture_line_crops uses per media line."""
+    from ..imaging.glyphs import SCALE, render_page
+    from .detect import resize_keep_ratio_pad
+
+    page = render_page([line], scale=SCALE)
+    if tinted:
+        from ..fixtures import _tint_page
+        from ..imaging.png import decode_gray, encode_rgb
+
+        page = decode_gray(encode_rgb(_tint_page(page)))
+    img = resize_keep_ratio_pad(page)
+    lab = char_frame_labels(line, page.shape[1], page.shape[0], tok)
+    return line, img, lab
+
+
 def fixture_line_crops(sf_dir: str, max_docs: int | None = None,
                        tok=None):
     """(line_text, gray_48x640, frame_labels) triples from the fixture's
@@ -509,8 +527,6 @@ def fixture_line_crops(sf_dir: str, max_docs: int | None = None,
     deterministic."""
     import pyarrow.parquet as pq
 
-    from ..imaging.glyphs import SCALE, render_page
-    from .detect import resize_keep_ratio_pad
     from .model import CFG
 
     if tok is None:
@@ -528,21 +544,12 @@ def fixture_line_crops(sf_dir: str, max_docs: int | None = None,
             w = [toks[(m * 3 + i) % nt] for i in range(3)]
             lines = [w[0] + " " + w[1], w[2]] if m % 2 == 1 else [" ".join(w)]
             for line in lines:
-                page = render_page([line], scale=SCALE)
-                if m % 5 == 3:
-                    # the fixture ships these pages as tinted truecolor;
-                    # after decode_gray the luma distribution is 27/239,
-                    # not 0/255 — train on exactly what the pipeline's
-                    # decode path produces (through the real codec)
-                    from ..fixtures import _tint_page
-                    from ..imaging.png import decode_gray, encode_rgb
-
-                    page = decode_gray(encode_rgb(_tint_page(page)))
-                img = resize_keep_ratio_pad(page)
-                lab = char_frame_labels(
-                    line, page.shape[1], page.shape[0], tok
-                )
-                (heldout if doc_id % 7 == 0 else train).append((line, img, lab))
+                # m % 5 == 3 pages ship as tinted truecolor in the
+                # fixture; after decode_gray the luma distribution is
+                # 27/239, not 0/255 — train on exactly what the
+                # pipeline's decode path produces (real codec round trip)
+                sample = render_crop(line, tok, tinted=(m % 5 == 3))
+                (heldout if doc_id % 7 == 0 else train).append(sample)
     return train, heldout
 
 

@@ -52,7 +52,18 @@ def main() -> int:
         tr, he = T.fixture_line_crops(d, tok=model.tok)
         train_set += tr
         heldout += he if d == sf_dir else []
-    print(f"crops: train={len(train_set)} heldout={len(heldout)}")
+    # supplemental short-token crops: 'a a'-style lines (two 1-2 char
+    # words) are the rarest layout in the corpora — sparse enough that a
+    # larger-sf line decoded without its space — so cover every short
+    # token pair explicitly, plain and tinted
+    short = sorted({w for line, *_ in train_set for w in line.split()
+                    if len(w) <= 2})
+    for t in short:
+        for u in short:
+            train_set.append(T.render_crop(f"{t} {u}", model.tok))
+            train_set.append(T.render_crop(f"{t} {u}", model.tok, tinted=True))
+    print(f"crops: train={len(train_set)} heldout={len(heldout)} "
+          f"(short tokens: {short})")
     report = {"sf_dir": sf_dir, "train": len(train_set), "heldout": len(heldout)}
     for method in ("ctc", "decoder", "beam"):
         lim = 64 if method != "ctc" else None
