@@ -311,8 +311,12 @@ def main() -> None:
         (least-contended) run is recorded — identical code+data read
         p75/med 1.2 and 2.0 minutes apart on this host, so the quiet
         window is the one that reflects data balance rather than
-        scheduler preemption."""
+        scheduler preemption. The recorded block is the min-wall run
+        AMONG successful skew probes (a REST hiccup on the fastest run
+        must not silently relabel a slower run's block as the quiet
+        window) and carries its own run's wall time."""
         best = float("inf")
+        best_probed = float("inf")
         for i in range(runs):
             try:
                 before = _completed_stage_ids(spark)
@@ -322,8 +326,9 @@ def main() -> None:
             _noop_write(make_df())
             wall = time.monotonic() - t0
             blk = stage_skew(spark, before)
-            if blk and wall < best:
-                skew_blocks[label] = blk
+            if blk and wall < best_probed:
+                best_probed = wall
+                skew_blocks[label] = {**blk, "run_wall_s": round(wall, 3)}
             best = min(best, wall)
         return round(best, 3)
 
@@ -392,6 +397,27 @@ def main() -> None:
         "trained_model": trained_model_eval(),
     }
     spark.stop()
+    # The driver's BENCH_r{N}.json has captured only the tail of this
+    # stdout line four rounds running (parsed: null) — persist the full
+    # artifact on disk too, named for the round the driver is about to
+    # record (1 + the highest BENCH_r*.json already at the repo root).
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        import glob as _glob
+        import re as _re
+
+        rounds = [
+            int(m.group(1))
+            for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        tag = f"r{(max(rounds, default=0) + 1):02d}"
+        os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
+        for name in (f"bench_{tag}.json", "bench_latest.json"):
+            with open(os.path.join(here, "BENCH", name), "w") as f:
+                json.dump(result, f, indent=2)
+    except Exception as e:  # never let artifact bookkeeping fail the bench
+        print(f"# bench artifact write failed: {e!r}", file=sys.stderr)
     print(json.dumps(result))
 
 

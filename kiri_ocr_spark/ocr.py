@@ -127,11 +127,12 @@ class OCR:
             return recognize_line(ink, np.array([tx0, ty0, tw, th]))
         # neural paths: tighten to the ink bounds (detector paddings vary
         # by method) then restore the training geometry — the renderer's
-        # PAD_Y/PAD_X background margins around the line — before resize.
-        # This is the in-sandbox-trained artifact's preprocessing
-        # contract, the role the reference's normalize constants play for
-        # its weights.
-        from .imaging.glyphs import PAD_X, PAD_Y
+        # PAD_Y/PAD_X background margins around the line, padded with the
+        # crop's OWN background luma (255 plain pages, 239 tinted codec
+        # pages) — before resize. This is the in-sandbox-trained
+        # artifact's preprocessing contract, the role the reference's
+        # normalize constants play for its weights.
+        from .operators.detect import pad_training_margins
 
         sub = ink[y0:y1, x0:x1]
         ys, xs = np.nonzero(sub)
@@ -139,11 +140,7 @@ class OCR:
             return "", 0.0
         ty0, ty1 = y0 + int(ys.min()), y0 + int(ys.max()) + 1
         tx0, tx1 = x0 + int(xs.min()), x0 + int(xs.max()) + 1
-        crop = np.pad(
-            gray[ty0:ty1, tx0:tx1],
-            ((PAD_Y, PAD_Y), (PAD_X, PAD_X)),
-            constant_values=255,
-        )
+        crop = pad_training_margins(gray[ty0:ty1, tx0:tx1])
         mem = self.model.encode(
             resize_keep_ratio_pad(crop)[None].astype(np.float32)
         )[0]

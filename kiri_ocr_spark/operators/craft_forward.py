@@ -54,18 +54,37 @@ def _load_calibrated() -> dict | None:
     """models/craft_calibrated.npz — weights FITTED in-sandbox by
     ``craft_calibrate.calibrate`` (pixel-BCE against the renderer's
     character-region and inter-character-affinity masks) from the hand
-    construction below, which remains the no-artifact fallback."""
+    construction below, which remains the no-artifact fallback.
+
+    Missing/unreadable artifacts warn and fall back (never break the
+    import): on a cluster the npz ships to executors via ``spark-submit
+    --files`` (scripts/submit.sh), and a silent fallback would have
+    driver and executors run different weights with no signal."""
     import os
+    import warnings
 
     p = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "models",
         "craft_calibrated.npz",
     )
-    if not os.path.exists(p):
-        return None
-    with np.load(p) as z:
-        return {k: z[k] for k in z.files}
+    try:
+        with np.load(p) as z:
+            return {k: z[k] for k in z.files}
+    except FileNotFoundError:
+        warnings.warn(
+            f"craft_calibrated.npz not found at {p}; CRAFT forward falls "
+            "back to hand-constructed weights (ship the artifact with "
+            "spark-submit --files, see scripts/submit.sh)",
+            stacklevel=2,
+        )
+    except Exception as e:  # corrupt npz must not break the legacy path
+        warnings.warn(
+            f"craft_calibrated.npz unreadable ({e!r}); CRAFT forward falls "
+            "back to hand-constructed weights",
+            stacklevel=2,
+        )
+    return None
 
 
 _W = _load_calibrated() or _weights()

@@ -109,18 +109,38 @@ def _load_calibrated() -> dict | None:
     ``db_calibrate.calibrate`` (BCE against the renderer's ink masks)
     starting from the hand construction below. When the artifact exists
     the forward runs on fitted weights; the hand construction is the
-    no-artifact fallback (and the calibration init)."""
+    no-artifact fallback (and the calibration init).
+
+    Missing or unreadable artifacts warn and fall back rather than break
+    the import: on a cluster the npz must be shipped to executors via
+    ``spark-submit --files models/db_calibrated.npz`` (scripts/submit.sh),
+    and a silent fallback would have driver and executors disagree on the
+    weights with no signal."""
     import os
+    import warnings
 
     p = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "models",
         "db_calibrated.npz",
     )
-    if not os.path.exists(p):
-        return None
-    with np.load(p) as z:
-        return {k: z[k] for k in z.files}
+    try:
+        with np.load(p) as z:
+            return {k: z[k] for k in z.files}
+    except FileNotFoundError:
+        warnings.warn(
+            f"db_calibrated.npz not found at {p}; DB forward falls back to "
+            "hand-constructed weights (ship the artifact with "
+            "spark-submit --files, see scripts/submit.sh)",
+            stacklevel=2,
+        )
+    except Exception as e:  # corrupt npz must not break the legacy path
+        warnings.warn(
+            f"db_calibrated.npz unreadable ({e!r}); DB forward falls back "
+            "to hand-constructed weights",
+            stacklevel=2,
+        )
+    return None
 
 
 _W = _load_calibrated() or _weights()

@@ -549,6 +549,25 @@ def resize_keep_ratio_pad(
     return out
 
 
+def pad_training_margins(region: np.ndarray) -> np.ndarray:
+    """Restore the renderer's PAD_Y/PAD_X background margins around a
+    detected line crop before resize_keep_ratio_pad — the trained
+    artifact's preprocessing contract. Training crops are full rendered
+    pages, so their margins carry the PAGE's background luma (255 plain,
+    239 on tinted-codec pages); a hardcoded 255 pad diverged from that
+    contract on tinted inputs. The crop's own MAXIMUM recovers the
+    actual background deterministically: after invert_if_dark the page
+    is dark-ink-on-light, so the lightest value in any crop that
+    contains at least one background pixel IS the background luma (255
+    plain, 239 tinted codec). A border-pixel median does NOT work here —
+    detect boxes bound the blocky fixture glyphs tightly, so tight-crop
+    borders are majority ink and the median reads ink, not background."""
+    from ..imaging.glyphs import PAD_X, PAD_Y
+
+    bg = int(region.max()) if region.size else 255
+    return np.pad(region, ((PAD_Y, PAD_Y), (PAD_X, PAD_X)), constant_values=bg)
+
+
 def segment_words(line_stats: np.ndarray) -> list[np.ndarray]:
     """W5: split a line's x-sorted component stats into words at large gaps.
     Threshold = clamp(median(gaps)+std(gaps), 0.3*med_w, 2*med_w)

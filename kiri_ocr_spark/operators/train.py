@@ -9,10 +9,13 @@ math as ``model.NumpyKiriModel`` — so trained weights drop into the
 existing inference paths (ctc_greedy / greedy_decode / beam_decode) and
 round-trip through the S3 loader (save_model/load_model) unchanged.
 
-Scope: the conv stem stays frozen at its seed values (a random-patch
-projection; im2col backward buys little on a 146-glyph deterministic
-font) — everything downstream trains: encoder layers + final LN + CTC
-head, decoder embedding + decoder layers + LM head. Training data is
+Scope: everything trains end to end — the conv stem (im2col
+forward/backward, ``train_stem=True``, gradients law-checked against
+central differences in tests/test_train.py), encoder layers + final LN
++ CTC head, decoder embedding + decoder layers + LM head. The stem MUST
+train on this corpus: its seed content signal is ~7x below the additive
+positional encoding, too weak for CTC to localize characters (the
+reference also trains end to end, training.py:601-1000). Training data is
 fixture-rendered line crops (the same renderer the oracle pipeline
 uses), split by doc hash into train/held-out; CER on the held-out split
 is the reported metric (scripts/train_model.py + the bench block).

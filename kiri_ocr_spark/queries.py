@@ -2746,11 +2746,11 @@ def q_model_decode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from .imaging.glyphs import PAD_X, PAD_Y
         from .imaging.png import decode_gray
         from .operators.detect import (
             detect_lines,
             invert_if_dark,
+            pad_training_margins,
             resize_keep_ratio_pad,
         )
         from .operators.model import get_model
@@ -2764,11 +2764,7 @@ def q_model_decode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
                 gray = invert_if_dark(decode_gray(bytes(blob)))
                 for i, b in enumerate(detect_lines(gray)):
                     x, y, w, h = (int(v) for v in b[:4])
-                    crop = np.pad(
-                        gray[y : y + h, x : x + w],
-                        ((PAD_Y, PAD_Y), (PAD_X, PAD_X)),
-                        constant_values=255,
-                    )
+                    crop = pad_training_margins(gray[y : y + h, x : x + w])
                     refs.append(ref)
                     line_nos.append(i)
                     crops.append(resize_keep_ratio_pad(crop))

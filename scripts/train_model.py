@@ -64,7 +64,8 @@ def main() -> int:
             train_set.append(T.render_crop(f"{t} {u}", model.tok, tinted=True))
     print(f"crops: train={len(train_set)} heldout={len(heldout)} "
           f"(short tokens: {short})")
-    report = {"sf_dir": sf_dir, "train": len(train_set), "heldout": len(heldout)}
+    report = {"sf_dir": sf_dir, "train": len(train_set), "heldout": len(heldout),
+              "train_stem": True, "short_tokens": short}
     for method in ("ctc", "decoder", "beam"):
         lim = 64 if method != "ctc" else None
         report[f"seed_cer_{method}"] = round(
