@@ -75,7 +75,17 @@ class OCR:
         padding: int = 0,
     ):
         self.decode_method = _normalize_decode_method(decode_method)
-        self.detector = TextDetector(method=det_method, heatmap_fn=heatmap_fn)
+        # db runs component-pixel scoring (det_db_score_mode='slow',
+        # DBNet's box_score_slow / PaddleOCR's det_db_score_mode): the
+        # default fast quad-mean drops a fused two-stacked-lines
+        # component whose minAreaRect spans the inter-line gap; the slow
+        # score keeps it and process_document's row-normalize step
+        # (merge + blank-row band split) separates the lines. The bare
+        # TextDetector facade keeps the reference's fast default.
+        det_kwargs = {"det_db_score_mode": "slow"} if det_method == "db" else {}
+        self.detector = TextDetector(
+            method=det_method, heatmap_fn=heatmap_fn, **det_kwargs
+        )
         self.padding = padding
         self._model = None
         self._model_path = model_path
@@ -162,6 +172,25 @@ class OCR:
         ink = binarize(gray)
         if mode == "lines":
             boxes = self.detector.detect_boxes(gray)
+            if self.detector.method in ("db", "craft"):
+                # The in-sandbox-calibrated neural detectors emit word/
+                # region-grade boxes; normalize to recognition-grade text
+                # lines: W3 row clustering over the boxes, then a blank-
+                # row band split inside each row hull (DB's unclipped
+                # regions can span two tight lines). A production-trained
+                # DBNet/CRAFT emits line-grade regions and both steps
+                # reduce to no-ops. Text-match verified per line against
+                # the construction oracle (media_text_db/_craft queries).
+                from .operators.detect import (
+                    merge_boxes_into_rows,
+                    split_box_at_blank_rows,
+                )
+
+                boxes = [
+                    (int(b[0]), int(b[1]), int(b[2]), int(b[3]), float(row[4]))
+                    for row in merge_boxes_into_rows(boxes)
+                    for b in split_box_at_blank_rows(ink, row)
+                ]
         elif mode == "words":
             boxes = [(bx, by, bw, bh, 1.0) for bx, by, bw, bh in
                      self.detector.detect_words(gray)]

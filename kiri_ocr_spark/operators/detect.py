@@ -549,6 +549,68 @@ def resize_keep_ratio_pad(
     return out
 
 
+def merge_boxes_into_rows(boxes: np.ndarray, tol: float = 0.7) -> np.ndarray:
+    """Cluster detector boxes into text rows (W3's y-center rule applied
+    at BOX level): running-mean y-center clustering with adaptive
+    tolerance ``tol * median(height)``, one hull box per row, top-down.
+
+    The in-sandbox-calibrated DB/CRAFT detectors emit word/region-grade
+    boxes (a production-trained DBNet/CRAFT emits line-grade regions —
+    the quality-vs-mechanism gap recorded in VERDICT "What's missing");
+    this normalizes them to the line grade the recognition contract
+    expects, reusing the same clustering law as the legacy detector
+    (reference legacy/detector.py:750-792)."""
+    if len(boxes) == 0:
+        return np.zeros((0, 5))
+    b = np.asarray(boxes, dtype=float)
+    med_h = float(np.median(b[:, 3]))
+    cy = b[:, 1] + b[:, 3] / 2
+    order = np.argsort(cy, kind="stable")
+    rows: list[list[int]] = [[int(order[0])]]
+    for i in order[1:]:
+        cur = rows[-1]
+        if abs(cy[i] - float(np.mean(cy[cur]))) <= tol * med_h:
+            cur.append(int(i))
+        else:
+            rows.append([int(i)])
+    out = []
+    for idx in rows:
+        g = b[idx]
+        x0, y0 = g[:, 0].min(), g[:, 1].min()
+        x1 = (g[:, 0] + g[:, 2]).max()
+        y1 = (g[:, 1] + g[:, 3]).max()
+        score = float(g[:, 4].mean()) if b.shape[1] > 4 else 1.0
+        out.append((x0, y0, x1 - x0, y1 - y0, score))
+    return np.array(sorted(out, key=lambda r: (r[1], r[0])))
+
+
+def split_box_at_blank_rows(ink: np.ndarray, box) -> list[np.ndarray]:
+    """Split a (possibly multi-line) detector box at blank ink rows and
+    ink-tighten each band — the projection-profile band rule detect_lines
+    already applies page-wide, scoped to one box. DB's unclipped regions
+    on tight two-line pages can span both lines; recognition needs one
+    band per text line. Returns [x y w h] int arrays, top-down; empty
+    bands are dropped."""
+    x, y, w, h = (int(v) for v in box[:4])
+    x0, y0 = max(x, 0), max(y, 0)
+    sub = ink[y0 : y0 + h, x0 : x0 + w]
+    if sub.size == 0:
+        return []
+    rowink = sub.any(axis=1).astype(np.int8)
+    d = np.diff(np.concatenate([[0], rowink, [0]]))
+    starts, ends = np.flatnonzero(d == 1), np.flatnonzero(d == -1)
+    out = []
+    for s, e in zip(starts, ends):
+        band = sub[s:e]
+        xs = np.flatnonzero(band.any(axis=0))
+        if len(xs) == 0:
+            continue
+        out.append(
+            np.array([x0 + xs[0], y0 + s, xs[-1] - xs[0] + 1, e - s], dtype=int)
+        )
+    return out
+
+
 def pad_training_margins(region: np.ndarray) -> np.ndarray:
     """Restore the renderer's PAD_Y/PAD_X background margins around a
     detected line crop before resize_keep_ratio_pad — the trained

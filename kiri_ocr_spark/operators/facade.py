@@ -249,6 +249,7 @@ class TextDetector:
             box_thresh=self.kwargs.get("det_db_box_thresh", 0.5),
             unclip_ratio=self.kwargs.get("det_db_unclip_ratio", 1.6),
             min_size=self.kwargs.get("min_size", 3),
+            score_mode=self.kwargs.get("det_db_score_mode", "fast"),
         )
         return _quads_to_boxes(quads, scores)
 

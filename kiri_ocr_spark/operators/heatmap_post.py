@@ -228,12 +228,21 @@ def db_boxes_from_bitmap(
     unclip_ratio: float = 1.6,
     min_size: int = 3,
     max_candidates: int = 1000,
+    score_mode: str = "fast",
 ) -> tuple[list[np.ndarray], list[float]]:
     """db/model.py:214-262 `_boxes_from_bitmap`: connected components of
     the binarized map stand in for cv2.findContours (minAreaRect over a
     component's member pixels equals minAreaRect over its contour);
     mini-box -> min-size filter -> box_score filter -> unclip -> second
-    min-size filter -> rescale to the destination frame."""
+    min-size filter -> rescale to the destination frame.
+
+    score_mode='fast' (the reference's box_score_fast: quad-mask mean)
+    is the default; 'slow' scores the mean over the COMPONENT's own
+    member pixels (DBNet's box_score_slow variant, which PaddleOCR
+    exposes as det_db_score_mode) — on a component whose minAreaRect
+    spans low-probability background (e.g. two stacked text lines fused
+    at /4 stride), the fast quad mean dilutes below box_thresh and drops
+    real text, while the slow score rates only the detected pixels."""
     height, width = bitmap.shape
     labels = connected_components(bitmap, connectivity=8)
     n = int(labels.max())
@@ -247,7 +256,10 @@ def db_boxes_from_bitmap(
         box, sside = mini_box(pts)
         if sside < min_size:
             continue
-        score = box_score_fast(pred, box)
+        if score_mode == "slow":
+            score = float(pred[ys, xs].mean())
+        else:
+            score = box_score_fast(pred, box)
         if score < box_thresh:
             continue
         expanded = unclip_rect(box, unclip_ratio)
@@ -272,6 +284,7 @@ def db_postprocess(
     box_thresh: float = 0.5,
     unclip_ratio: float = 1.6,
     min_size: int = 3,
+    score_mode: str = "fast",
 ) -> tuple[list[np.ndarray], list[float]]:
     """Full DB postprocess with the reference defaults
     (db/model.py:43-47): binarize at `thresh`, extract scored boxes."""
@@ -284,6 +297,7 @@ def db_postprocess(
         box_thresh=box_thresh,
         unclip_ratio=unclip_ratio,
         min_size=min_size,
+        score_mode=score_mode,
     )
 
 
