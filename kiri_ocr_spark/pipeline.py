@@ -122,6 +122,95 @@ def _ocr_batches(broadcast):
     return fn
 
 
+def _ocr_batches_trained(model_path: str):
+    """mapInPandas kernel, trained-recognizer variant (the reference's
+    actual architecture — core.py:719-793 always decodes through the
+    model): decode PNG -> detect lines -> batched numpy-transformer CTC
+    decode with the in-sandbox-trained weights. Crop preprocessing is
+    the trained artifact's contract (pad_training_margins + resize),
+    identical to q_model_decode_trained. Encodes are batched ACROSS
+    pages (one stacked forward per chunk of crops), not per line; the
+    model loads once per Python worker (M8 get_model cache)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from .imaging.png import decode_gray
+        from .operators.detect import (
+            detect_lines,
+            invert_if_dark,
+            pad_training_margins,
+            resize_keep_ratio_pad,
+        )
+        from .operators.model import get_model
+
+        _QUARANTINE = (ValueError, KeyError, IndexError, struct.error, zlib.error)
+        model = get_model(path=model_path)
+        for pdf in batches:
+            n = len(pdf)
+            texts: list = [None] * n
+            confs = [0.0] * n
+            nlines = [-1] * n
+            row_us = [0] * n
+            crops: list[np.ndarray] = []
+            owners: list[int] = []  # crop -> row index
+            t_prev = time.monotonic()
+            for ri, blob in enumerate(pdf["png_bytes"]):
+                try:
+                    if blob is None:
+                        raise ValueError("missing media payload")
+                    gray = invert_if_dark(decode_gray(bytes(blob)))
+                    boxes = detect_lines(gray)
+                    for b in boxes:
+                        x, y, w, h = (int(v) for v in b[:4])
+                        crops.append(
+                            resize_keep_ratio_pad(
+                                pad_training_margins(gray[y : y + h, x : x + w])
+                            )
+                        )
+                        owners.append(ri)
+                    nlines[ri] = len(boxes)
+                    texts[ri] = ""  # no-line page decodes to empty text
+                except _QUARANTINE:
+                    pass  # quarantine markers already in place
+                t_now = time.monotonic()
+                row_us[ri] = int((t_now - t_prev) * 1_000_000)
+                t_prev = t_now
+            # one stacked forward per chunk — the per-crop decode cost is
+            # the kernel hot path, batch it like the training loop does
+            decoded: list[tuple[str, float]] = []
+            t0 = time.monotonic()
+            for i in range(0, len(crops), 64):
+                chunk = np.stack(crops[i : i + 64]).astype(np.float32)
+                decoded.extend(model.ctc_greedy(model.encode(chunk)))
+            if crops:  # spread encode cost over owning rows' kernel time
+                per = int((time.monotonic() - t0) * 1_000_000 / len(crops))
+                by_row: dict[int, list[tuple[str, float]]] = {}
+                for ri, d in zip(owners, decoded):
+                    by_row.setdefault(ri, []).append(d)
+                    row_us[ri] += per
+                for ri, items in by_row.items():
+                    texts[ri] = "\n".join(t for t, _ in items)
+                    confs[ri] = float(np.mean([c for _, c in items]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "offset": pdf["offset"],
+                    "kind": pdf["kind"],
+                    "text": texts,
+                    "media_ref": pdf["media_ref"],
+                    "conf": confs,
+                    "n_lines": nlines,
+                    "kernel_us": row_us,
+                }
+            )
+
+    return fn
+
+
 def extract_span_rows(
     docs: DataFrame,
     media: DataFrame,
@@ -130,6 +219,7 @@ def extract_span_rows(
     media_partitions: int | None = None,
     broadcast_media: bool = False,
     keep_kernel_us: bool = False,
+    recognizer: str = "template",
 ) -> DataFrame:
     """Span-level extraction: one row per span with recognized/normalized
     text, confidence and lineage columns. No assembly shuffle yet."""
@@ -205,10 +295,16 @@ def extract_span_rows(
         joined = salted.join(media, "media_ref", "left").repartition(nparts, "salt")
     joined = joined.select("doc_id", "offset", "kind", "media_ref", "png_bytes")
 
-    from .imaging.glyphs import template_index
+    if recognizer == "trained":
+        from .queries import trained_model_path
 
-    bc = spark.sparkContext.broadcast(template_index())
-    ocr = joined.mapInPandas(_ocr_batches(bc), schema=OCR_SCHEMA)
+        kernel = _ocr_batches_trained(trained_model_path())
+    else:
+        from .imaging.glyphs import template_index
+
+        bc = spark.sparkContext.broadcast(template_index())
+        kernel = _ocr_batches(bc)
+    ocr = joined.mapInPandas(kernel, schema=OCR_SCHEMA)
     if keep_kernel_us:
         text_rows = text_rows.withColumn("kernel_us", F.lit(0).cast("long"))
     else:

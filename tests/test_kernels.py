@@ -423,3 +423,40 @@ def test_color_bank_recovers_luma_invisible_text():
     # and the full bank's argmax lands on a COLOR candidate, not a gray one
     all_scores = [score_binarization(c) for c in binarize_candidates(rgb)]
     assert int(np.argmax(all_scores)) >= 14
+
+
+def test_trained_ocr_kernel_decodes_and_quarantines():
+    """_ocr_batches_trained (extract_spans_trained's media kernel): exact
+    decode of plain and tinted pages through the trained weights, empty
+    text on a blank page, and the same quarantine contract as the
+    template kernel (None payload / corrupt PNG -> text NULL, conf 0,
+    n_lines -1) — one corrupt payload must never fail the task."""
+    import pandas as pd
+
+    from kiri_ocr_spark.fixtures import _tint_page
+    from kiri_ocr_spark.imaging.glyphs import SCALE, render_page
+    from kiri_ocr_spark.imaging.png import encode_gray, encode_rgb
+    from kiri_ocr_spark.pipeline import _ocr_batches_trained
+    from kiri_ocr_spark.queries import trained_model_path
+
+    plain = encode_gray(render_page(["the fast key"], scale=SCALE))
+    tinted = encode_rgb(_tint_page(render_page(["order sort", "table"], scale=SCALE)))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 1, 2, 2],
+            "offset": [0, 1, 0, 1],
+            "kind": ["media"] * 4,
+            "media_ref": ["a", "b", "c", "d"],
+            "png_bytes": [plain, tinted, None, b"\x89PNG\r\n\x1a\ngarbage"],
+        }
+    )
+    (out,) = list(_ocr_batches_trained(trained_model_path())([pdf]))
+    rows = {r.media_ref: r for r in out.itertuples()}
+    assert rows["a"].text == "the fast key" and rows["a"].n_lines == 1
+    assert rows["b"].text == "order sort\ntable" and rows["b"].n_lines == 2
+    assert rows["b"].conf > 0.5
+    for ref in ("c", "d"):
+        assert rows[ref].text is None
+        assert rows[ref].conf == 0.0
+        assert rows[ref].n_lines == -1
+    assert (out["kernel_us"] >= 0).all()
