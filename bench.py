@@ -92,12 +92,16 @@ def kernel_profile(media, sample: int = 256) -> dict:
 
     from kiri_ocr_spark.imaging.png import decode_gray
     from kiri_ocr_spark.operators.detect import detect_lines, orient_and_binarize
+    from kiri_ocr_spark.operators import recognize as _R
     from kiri_ocr_spark.operators.recognize import recognize_line
 
     blobs = [bytes(r.png_bytes) for r in media.limit(sample).collect()]
     t = {"decode": 0.0, "binarize": 0.0, "detect": 0.0, "recognize": 0.0}
     n_lines = 0
     for blob in blobs:
+        # publish the COLD recognize path: the line memo would otherwise
+        # hide the kernel cost behind cross-page line repetition
+        _R._LINE_MEMO.clear()
         t0 = time.perf_counter()
         gray = decode_gray(blob)
         t1 = time.perf_counter()
