@@ -25,6 +25,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE_QUERIES = [
+    "extract_spans_trained",
+    "media_text_craft",
     "minhash_pairs",
     "minhash_verified",
     "dedup_clusters",

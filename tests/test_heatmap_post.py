@@ -4,6 +4,8 @@ and the deterministic model-seam heatmaps."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from kiri_ocr_spark.operators.components import connected_components
@@ -481,3 +483,32 @@ def test_process_document_neural_methods_read_exact_lines():
         for method in ("db", "craft"):
             got = [r["text"] for r in OCR(det_method=method).process_document(page)]
             assert got == lines, (method, lines, got)
+
+
+def test_calibrated_weight_load_warns_and_falls_back_on_corrupt_npz(tmp_path, monkeypatch):
+    """Advisor r5: a corrupt/missing calibrated npz must warn and fall
+    back to the hand construction, never break the import path."""
+    import warnings
+
+    from kiri_ocr_spark.operators import db_forward
+
+    # corrupt artifact: patch the path resolution to a garbage file
+    bad = tmp_path / "models" / "db_calibrated.npz"
+    bad.parent.mkdir()
+    bad.write_bytes(b"not an npz")
+    real_join = os.path.join
+
+    def fake_join(*parts):
+        if parts[-1] == "db_calibrated.npz":
+            return str(bad)
+        return real_join(*parts)
+
+    monkeypatch.setattr("os.path.join", fake_join)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert db_forward._load_calibrated() is None
+        assert any("unreadable" in str(x.message) for x in w)
+    monkeypatch.undo()
+    # and the real artifact still loads cleanly
+    loaded = db_forward._load_calibrated()
+    assert loaded is not None and "w1" in loaded

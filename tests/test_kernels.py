@@ -460,3 +460,23 @@ def test_trained_ocr_kernel_decodes_and_quarantines():
         assert rows[ref].conf == 0.0
         assert rows[ref].n_lines == -1
     assert (out["kernel_us"] >= 0).all()
+
+
+def test_pad_training_margins_uses_crop_background():
+    """Advisor r4: neural-path pad margins must carry the crop's OWN
+    background luma (255 plain, 239 tinted-codec pages), not hardcoded
+    255 — the trained artifact's preprocessing contract."""
+    from kiri_ocr_spark.imaging.glyphs import PAD_X, PAD_Y
+    from kiri_ocr_spark.operators.detect import pad_training_margins
+
+    plain = np.full((10, 20), 255, dtype=np.uint8)
+    plain[3:7, 5:15] = 0
+    out = pad_training_margins(plain)
+    assert out.shape == (10 + 2 * PAD_Y, 20 + 2 * PAD_X)
+    assert out[0, 0] == 255
+
+    tinted = np.full((10, 20), 239, dtype=np.uint8)
+    tinted[3:7, 5:15] = 27
+    out = pad_training_margins(tinted)
+    assert out[0, 0] == 239  # background, not 255
+    assert out[PAD_Y + 3, PAD_X + 5] == 27  # content preserved
