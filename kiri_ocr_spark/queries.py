@@ -2785,8 +2785,12 @@ def q_model_decode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
                     crops.append(resize_keep_ratio_pad(crop))
             if not crops:
                 continue
-            mem = model.encode(np.stack(crops).astype(np.float32))
-            texts = [t for t, _ in model.ctc_greedy(mem)]
+            # chunk 8: layer-1 im2col cache blowup past ~8 crops (see
+            # pipeline._ocr_batches_trained)
+            texts = []
+            for i in range(0, len(crops), 8):
+                chunk = np.stack(crops[i : i + 8]).astype(np.float32)
+                texts.extend(t for t, _ in model.ctc_greedy(model.encode(chunk)))
             yield pd.DataFrame(
                 {"media_ref": refs, "line_no": line_nos, "text": texts}
             )
