@@ -49,35 +49,19 @@ def run_extract(args: argparse.Namespace) -> int:
         )
         results = ocr.process_document(gray)
         return _write_extract_sinks(args, gray, results)
-    if args.method == "projection":
-        boxes = detect_lines(gray, ink=ink)
-    else:
-        # the reference facade's method switch (detector/__init__.py:34):
-        # craft/db resolve the in-repo numpy forwards by default and run
-        # the real heatmap path; legacy fallback only fires if backend
-        # resolution fails. Facade boxes carry padding; the template
-        # recognizer needs tight ink-aligned crops, so each box is
-        # snapped to the ink bounds inside it before recognition.
-        from .operators.facade import TextDetector
+    if args.method != "projection":
+        # the reference facade's method switch (detector/__init__.py:34)
+        # through the OCR class: craft/db resolve the in-repo numpy
+        # forwards, and process_document normalizes their word/region-
+        # grade boxes to text rows (merge + blank-row band split, db
+        # slow score) — the per-line-text-verified path
+        # (media_text_db/_craft oracles), identical to the model route
+        # above but with the template decode
+        from .ocr import OCR
 
-        boxes = TextDetector(method=args.method).detect_boxes(gray)
-        tight = []
-        for b in boxes:
-            x, y, w, h = (int(b[0]), int(b[1]), int(b[2]), int(b[3]))
-            window = ink[y : y + h, x : x + w]
-            ys, xs = np.nonzero(window)
-            if len(xs) == 0:
-                continue
-            tight.append(
-                (
-                    float(x + xs.min()),
-                    float(y + ys.min()),
-                    float(xs.max() - xs.min() + 1),
-                    float(ys.max() - ys.min() + 1),
-                    float(b[4]),
-                )
-            )
-        boxes = np.array(tight) if tight else np.zeros((0, 5))
+        results = OCR(det_method=args.method).process_document(gray)
+        return _write_extract_sinks(args, gray, results)
+    boxes = detect_lines(gray, ink=ink)
     results = []
     for i, box in enumerate(boxes, start=1):
         text, conf = recognize_line(ink, box)
