@@ -32,6 +32,19 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# BASELINE.md content from this line on survives scaling.py rewrites
+HISTORY_MARKER = "<!-- HISTORY -->"
+
+
+def preserved_history(prev_text: str) -> str:
+    """The hand-curated tail of BASELINE.md (failing readings, cross-run
+    variance, prior-round evidence) that a fresh-run rewrite must carry
+    forward — everything from HISTORY_MARKER on. This round's lesson:
+    run 1 of the r5 scaling evidence wholesale-rewrote the file and
+    deleted four rounds of recorded history; only §1-4 may regenerate."""
+    idx = prev_text.find(HISTORY_MARKER)
+    return prev_text[idx:] if idx >= 0 else ""
+
 
 def _kernel_burn(_: int) -> int:
     import time as _t
@@ -230,7 +243,18 @@ def main() -> None:
 
     bench_dir = os.path.join(REPO, "BENCH")
     os.makedirs(bench_dir, exist_ok=True)
-    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
+    # every run is appended to a machine-readable log so multi-run tables
+    # can be composed without re-measuring
+    with open(os.path.join(bench_dir, "scaling_runs.jsonl"), "a") as f:
+        f.write(json.dumps({"ts": time.time(), **result}) + "\n")
+    # sections below the HISTORY marker are hand-curated records (failing
+    # readings, cross-run variance, prior-round evidence) and MUST survive
+    # a rewrite — only §1-4 (this run's numbers) are regenerated
+    baseline_path = os.path.join(bench_dir, "BASELINE.md")
+    history = ""
+    if os.path.exists(baseline_path):
+        history = preserved_history(open(baseline_path).read())
+    with open(baseline_path, "w") as f:
         f.write(
             f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 
@@ -301,9 +325,15 @@ separate JVMs sample different windows), and the
 hardware calibration is re-measured on every scaling run.
 
 Reproduce: `python scripts/scaling.py` (env `SPARK_GRAFT_SCALE_N`,
-`SPARK_GRAFT_SF_DIR`, `SPARK_GRAFT_BENCH_MULT`).
+`SPARK_GRAFT_SF_DIR`, `SPARK_GRAFT_BENCH_MULT`). Per-run JSON is
+appended to `BENCH/scaling_runs.jsonl`. Sections 1-4 are THIS run's
+numbers only — cross-run tables and prior-round evidence (including
+any failing readings) live in the HISTORY sections below and survive
+regeneration.
 """
         )
+        if history:
+            f.write("\n" + history)
     print(json.dumps(result))
 
 
