@@ -151,8 +151,11 @@ class OCR:
         ty0, ty1 = y0 + int(ys.min()), y0 + int(ys.max()) + 1
         tx0, tx1 = x0 + int(xs.min()), x0 + int(xs.max()) + 1
         crop = pad_training_margins(gray[ty0:ty1, tx0:tx1])
+        # fp32 inference — the reference's deployment dtype (its torch /
+        # ONNX checkpoints are float32); decode margins dwarf the ~4e-6
+        # forward divergence, re-verified by the text-equality oracles
         mem = self.model.encode(
-            resize_keep_ratio_pad(crop)[None].astype(np.float32)
+            resize_keep_ratio_pad(crop)[None].astype(np.float32), fp32=True
         )[0]
         if self.decode_method == "ctc":
             # model_path given: 'fast' IS the loaded model's CTC head,

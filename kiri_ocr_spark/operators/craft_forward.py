@@ -88,19 +88,40 @@ def _load_calibrated() -> dict | None:
 
 
 _W = _load_calibrated() or _weights()
+# float32 inference views — same rationale and live-_W contract as
+# db_forward._w32 (tests rebind _W through the parity seam)
+_W32_CACHE: tuple[dict, dict] | None = None
 
 
-def craft_maps(gray: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _w32() -> dict:
+    global _W32_CACHE
+    if _W32_CACHE is None or _W32_CACHE[0] is not _W:
+        _W32_CACHE = (_W, {k: v.astype(np.float32) for k, v in _W.items()})
+    return _W32_CACHE[1]
+
+
+def craft_maps(
+    gray: np.ndarray, fp32: bool = True
+) -> tuple[np.ndarray, np.ndarray]:
     """facade ``heatmap_fn`` entry for method='craft': gray page ->
-    (textmap, linkmap), both same shape as the input, values in [0, 1]."""
+    (textmap, linkmap), both same shape as the input, values in [0, 1].
+
+    fp32 (default) is the deployed-runtime dtype; fp32=False runs
+    float64 for exact-parity checks against craft_calibrate's
+    forward_cached (the law-test seam)."""
+    from .blas import pin_blas_threads
+
+    pin_blas_threads(1)  # 32 workers x 32 default BLAS threads thrashes
     h, w = gray.shape
-    x = (gray.astype(np.float64) / 255.0)[:, :, None]
-    e = np.maximum(_conv2d(x, _W["w1"], _W["b1"], stride=2), 0.0)
-    t = np.maximum(_conv2d(e, _W["wt"], _W["bt"], stride=1), 0.0)
-    t = _conv2d(t, _W["wh"], _W["bh"], stride=1)[..., 0]
-    lk = np.maximum(_conv2d(e, _W["wl"], _W["bl"], stride=1), 0.0)
-    lk = np.maximum(_conv2d(lk, _W["wl"], _W["bl"], stride=1), 0.0)
-    lk = _conv2d(lk, _W["wh"], _W["bh"], stride=1)[..., 0]
+    W = _w32() if fp32 else _W
+    dt = np.float32 if fp32 else np.float64
+    x = (gray.astype(dt) / 255.0)[:, :, None]
+    e = np.maximum(_conv2d(x, W["w1"], W["b1"], stride=2), 0.0)
+    t = np.maximum(_conv2d(e, W["wt"], W["bt"], stride=1), 0.0)
+    t = _conv2d(t, W["wh"], W["bh"], stride=1)[..., 0].astype(np.float64)
+    lk = np.maximum(_conv2d(e, W["wl"], W["bl"], stride=1), 0.0)
+    lk = np.maximum(_conv2d(lk, W["wl"], W["bl"], stride=1), 0.0)
+    lk = _conv2d(lk, W["wh"], W["bh"], stride=1)[..., 0].astype(np.float64)
     text = 1.0 / (1.0 + np.exp(-_TEXT_GAIN * (_upsample_bilinear(t, h, w) - _TEXT_THRESH)))
     link = 1.0 / (1.0 + np.exp(-_LINK_GAIN * (_upsample_bilinear(lk, h, w) - _LINK_THRESH)))
     return text, link

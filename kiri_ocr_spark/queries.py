@@ -2790,7 +2790,9 @@ def q_model_decode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             texts = []
             for i in range(0, len(crops), 8):
                 chunk = np.stack(crops[i : i + 8]).astype(np.float32)
-                texts.extend(t for t, _ in model.ctc_greedy(model.encode(chunk)))
+                texts.extend(
+                    t for t, _ in model.ctc_greedy(model.encode(chunk, fp32=True))
+                )
             yield pd.DataFrame(
                 {"media_ref": refs, "line_no": line_nos, "text": texts}
             )

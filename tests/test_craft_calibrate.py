@@ -25,12 +25,18 @@ def test_forward_cached_parity_with_craft_maps():
     old = CF._W
     try:
         CF._W = params
-        t_ref, l_ref = CF.craft_maps(gray)
+        # fp32=False: the parity seam checks the MATH in float64; the
+        # default fp32 path is verified by the craft oracles' text match
+        t_ref, l_ref = CF.craft_maps(gray, fp32=False)
+        t_32, l_32 = CF.craft_maps(gray, fp32=True)
     finally:
         CF._W = old
     t_new, l_new, _ = CC.forward_cached(params, gray)
     assert np.allclose(t_ref, t_new, atol=1e-12)
     assert np.allclose(l_ref, l_new, atol=1e-12)
+    # the fp32 production path stays within float32 rounding of the math
+    assert np.allclose(t_ref, t_32, atol=1e-3)
+    assert np.allclose(l_ref, l_32, atol=1e-3)
 
 
 def test_calibration_gradients_numeric():

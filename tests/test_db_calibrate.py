@@ -26,11 +26,17 @@ def test_forward_cached_parity_with_db_forward():
     p_ref_w = D._W
     try:
         D._W = params
-        p_ref = D.forward(x)
+        # fp32=False: the parity seam checks the MATH in float64; the
+        # default fp32 inference path is text/geometry-verified by the
+        # media_line_detect_db / media_text_db oracles instead
+        p_ref = D.forward(x, fp32=False)
+        p_32 = D.forward(x, fp32=True)
     finally:
         D._W = p_ref_w
     p_new, _ = C.forward_cached(params, x[0].transpose(1, 2, 0).astype(np.float64))
     assert np.allclose(p_ref, p_new, atol=1e-12)
+    # the fp32 production path stays within float32 rounding of the math
+    assert np.allclose(p_ref, p_32, atol=1e-3)
 
 
 def test_calibration_gradients_numeric():
