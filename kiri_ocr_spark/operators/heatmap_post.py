@@ -43,9 +43,29 @@ from .components import component_stats, connected_components
 # ---------------------------------------------------------------------------
 
 
+def _row_extremes(pts: np.ndarray) -> np.ndarray:
+    """Exact hull-preserving reduction: per distinct y keep only the
+    min-x and max-x points — every other point on that scanline is a
+    convex combination of the two, so the hull is unchanged. Component
+    PIXEL sets (the min_area_rect callers' input) shrink from O(area)
+    to O(2 * rows), which turns the pure-Python monotone chain from the
+    dominant cost of the craft/db page postprocess (~91% of
+    process_document, 26k points/hull) into noise."""
+    order = np.lexsort((pts[:, 0], pts[:, 1]))  # sort by y, then x
+    p = pts[order]
+    first = np.ones(len(p), dtype=bool)
+    first[1:] = p[1:, 1] != p[:-1, 1]
+    idx_first = np.flatnonzero(first)
+    idx_last = np.r_[idx_first[1:] - 1, len(p) - 1]
+    return np.concatenate([p[idx_first], p[idx_last]])
+
+
 def convex_hull(points: np.ndarray) -> np.ndarray:
     """Andrew monotone chain over (n, 2) points -> CCW hull vertices."""
-    pts = np.unique(points.astype(np.float64), axis=0)
+    pts = points.astype(np.float64)
+    if len(pts) > 16:
+        pts = _row_extremes(pts)
+    pts = np.unique(pts, axis=0)
     if len(pts) <= 2:
         return pts
     # lexicographic sort (x, then y)

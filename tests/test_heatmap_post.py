@@ -512,3 +512,41 @@ def test_calibrated_weight_load_warns_and_falls_back_on_corrupt_npz(tmp_path, mo
     # and the real artifact still loads cleanly
     loaded = db_forward._load_calibrated()
     assert loaded is not None and "w1" in loaded
+
+
+def test_row_extreme_reduction_preserves_hull():
+    """convex_hull's scanline reduction must be exact: per distinct y
+    only the min/max-x points can be hull vertices. Compare against the
+    unreduced monotone chain on pixel-like point sets."""
+    import numpy as np
+
+    from kiri_ocr_spark.operators.heatmap_post import _row_extremes, convex_hull
+
+    rng = np.random.default_rng(42)
+
+    def brute(points):
+        pts = np.unique(points.astype(np.float64), axis=0)
+        order = np.lexsort((pts[:, 1], pts[:, 0]))
+        pts = pts[order]
+
+        def cross(o, a, b):
+            return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+        lower, upper = [], []
+        for p in pts:
+            while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+                lower.pop()
+            lower.append(p)
+        for p in pts[::-1]:
+            while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+                upper.pop()
+            upper.append(p)
+        return np.array(lower[:-1] + upper[:-1])
+
+    for _ in range(30):
+        ys, xs = np.where(rng.random((25, 40)) < 0.35)
+        pts = np.stack([xs, ys], 1).astype(float)
+        got, want = convex_hull(pts), brute(pts)
+        assert got.shape == want.shape and np.allclose(got, want)
+        # and the reduction itself is bounded by 2 points per scanline
+        assert len(_row_extremes(pts)) <= 2 * len(np.unique(ys))

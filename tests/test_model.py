@@ -285,3 +285,35 @@ def test_load_model_rejects_corrupt_and_incomplete_inputs(tmp_path):
     np.savez(p, **partial)
     with pytest.raises(KeyError):
         load_model(p)
+
+
+def test_blas_pin_applies_and_is_idempotent():
+    from kiri_ocr_spark.operators.blas import pin_blas_threads
+
+    # this numpy build vendors OpenBLAS, so the runtime pin must land
+    assert pin_blas_threads(1) is True
+    assert pin_blas_threads(1) is True  # cached fast path
+
+
+def test_fp32_encode_tracks_weight_rebinding(model):
+    img = np.full((1, model.cfg.IMG_H, model.cfg.IMG_W), 255, dtype=np.uint8)
+    base = model.encode(img, fp32=True)
+    # a training step rebinds the stored float64 array; the cached
+    # float32 view must not be served stale
+    layer = model.convs[0]
+    old = layer["k"]
+    try:
+        layer["k"] = old + 1.0
+        assert not np.allclose(model.encode(img, fp32=True), base)
+    finally:
+        layer["k"] = old
+    assert np.allclose(model.encode(img, fp32=True), base)
+
+
+def test_fp32_encode_matches_float64_within_rounding(model):
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (2, model.cfg.IMG_H, model.cfg.IMG_W)).astype(np.uint8)
+    m64 = model.encode(img)
+    m32 = model.encode(img, fp32=True)
+    assert m64.dtype == np.float64 and m32.dtype == np.float32
+    assert np.max(np.abs(m64 - m32)) < 1e-3
