@@ -41,15 +41,19 @@ def _conv2d(x: np.ndarray, w: np.ndarray, b: np.ndarray, stride: int) -> np.ndar
     H, W, C = x.shape
     xp = np.pad(x, ((1, 1), (1, 1), (0, 0)))
     oh, ow = (H + stride - 1) // stride, (W + stride - 1) // stride
-    ys = np.arange(oh) * stride
-    xs = np.arange(ow) * stride
     cols = np.empty((oh, ow, 9 * C), dtype=x.dtype)  # dtype follows input
     for dy in range(3):
+        ye = dy + (oh - 1) * stride + 1
         for dx in range(3):
+            # strided basic slices are views (the former double
+            # fancy-index materialized two intermediates per tap)
+            xe = dx + (ow - 1) * stride + 1
             cols[..., (dy * 3 + dx) * C : (dy * 3 + dx + 1) * C] = (
-                xp[ys + dy][:, xs + dx]
+                xp[dy:ye:stride, dx:xe:stride]
             )
-    return cols @ w.reshape(9 * C, -1) + b
+    # one big GEMM beats numpy's per-row batching of (ow, 9C) tiles
+    out = cols.reshape(-1, 9 * C) @ w.reshape(9 * C, -1) + b
+    return out.reshape(oh, ow, -1)
 
 
 def _upsample_bilinear(x: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
