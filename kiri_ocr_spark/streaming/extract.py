@@ -307,14 +307,21 @@ RETRACT_OUTPUT_SCHEMA = (
 RETRACT_STATE_SCHEMA = "prev_text string, last_step int"
 
 
-def decode_step_events(df: DataFrame) -> DataFrame:
+def decode_step_events(df: DataFrame, model_path: str | None = None) -> DataFrame:
     """Best-hypothesis step producer (reference model.py:949-1153
     beam_decode_streaming driven by core.py:887-1026): one row per beam
     step per region carrying the CURRENT best hypothesis text — which may
     change non-monotonically as beams reorder. Input rows are
     (doc_id long, region int, png binary) line images; the decode runs
     the real numpy beam search inside an Arrow-batched kernel with the
-    executor-singleton model (M8)."""
+    executor-singleton model (M8).
+
+    ``model_path`` routes the stream through TRAINED weights (the same
+    artifact and fp32 inference dtype as every batch trained-decode
+    path), so streaming and batch decodes of one region stay bit-equal
+    whichever weights are loaded — the reference streams whatever model
+    core.py loaded, never a separate one. Default stays the seed build
+    in float64, matching the batch q_model_decode contract."""
     import pandas as pd  # noqa: F811
 
     def kernel(batches):
@@ -322,7 +329,8 @@ def decode_step_events(df: DataFrame) -> DataFrame:
         from ..operators.detect import invert_if_dark, resize_keep_ratio_pad
         from ..operators.model import get_model
 
-        model = get_model()
+        model = get_model(path=model_path)
+        fp32 = model_path is not None
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
@@ -332,7 +340,7 @@ def decode_step_events(df: DataFrame) -> DataFrame:
                 gray = resize_keep_ratio_pad(
                     invert_if_dark(decode_gray(bytes(r["png"])))
                 )
-                mem = model.encode(gray[None].astype("float32"))[0]
+                mem = model.encode(gray[None].astype("float32"), fp32=fp32)[0]
                 for ev in model.beam_decode_steps(mem):
                     rows.append(
                         (

@@ -425,3 +425,61 @@ def test_stream_dedup_docs_within_watermark(spark, tmp_path):
     q = stream_dedup_docs(spark, docs_dir, out, ckpt)
     assert q.awaitTermination(TIMEOUT_S)
     assert spark.read.parquet(out).count() == 3
+
+
+def test_step_events_with_trained_weights_match_batch(spark, tmp_path):
+    """decode_step_events(model_path=...) streams the TRAINED artifact
+    (fp32, like every batch trained path): replaying the changelog must
+    reconstruct the batch trained beam decode bit-for-bit — the
+    reference streams whatever model core.py loaded, never a separate
+    one."""
+    import os
+
+    import numpy as np
+
+    from kiri_ocr_spark.imaging.glyphs import render_page
+    from kiri_ocr_spark.imaging.png import encode_gray
+    from kiri_ocr_spark.operators.detect import (
+        invert_if_dark,
+        resize_keep_ratio_pad,
+    )
+    from kiri_ocr_spark.operators.model import get_model
+    from kiri_ocr_spark.streaming.extract import (
+        decode_step_events,
+        stream_beam_retraction,
+    )
+
+    path = os.path.join(os.path.dirname(__file__), "..", "models", "trained_small.npz")
+    path = os.path.abspath(path)
+    # real rendered line crops — the trained model's actual input domain
+    texts = ["alpha beta", "gamma delta epsilon", "zeta"]
+    imgs = []
+    for i, t in enumerate(texts):
+        page = render_page([t])
+        ys, xs = np.where(page < 128)
+        imgs.append((i, page[ys.min() - 2 : ys.max() + 3, xs.min() - 2 : xs.max() + 3]))
+    df = spark.createDataFrame(
+        [(900 + i, i, bytearray(encode_gray(img))) for i, img in imgs],
+        "doc_id long, region int, png binary",
+    )
+    steps = decode_step_events(df, model_path=path)
+    steps_dir = str(tmp_path / "steps")
+    steps.repartition(2, "doc_id", "region").write.parquet(steps_dir)
+    q = stream_beam_retraction(
+        spark, steps_dir, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(TIMEOUT_S)
+
+    got = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    model = get_model(path=path)
+    for (_, region), grp in got.groupby(["doc_id", "region"]):
+        grp = grp.sort_values("step")
+        cur = ""
+        for _, r in grp.iterrows():
+            cur = r["text"] if r["kind"] == "retract" else cur + r["token"]
+        pre = resize_keep_ratio_pad(invert_if_dark(dict(imgs)[int(region)]))
+        mem = model.encode(pre[None].astype(np.float32), fp32=True)[0]
+        expect, conf = model.beam_decode(mem)
+        assert cur == expect
+        assert abs(grp.iloc[-1]["confidence"] - conf) < 1e-9
