@@ -814,3 +814,58 @@ def evaluate_cer(model: NumpyKiriModel, samples, method: str = "decoder",
             edits += edit_distance(ref, hyp)
             chars += len(ref)
     return edits / max(chars, 1)
+
+
+# --------------------------------------------------------------------------
+# charset-coverage crops: the corpora cover only 24/146 charset glyphs
+# (lowercase a-w + y); digits, punctuation, uppercase and the whole Khmer
+# block are unseen by corpus-only training. The reference's model is a
+# production Khmer+Latin recognizer (model.py charset), so a faithful
+# in-sandbox artifact must classify its FULL glyph system — these seeded
+# synthetic lines give every glyph balanced context coverage.
+# --------------------------------------------------------------------------
+
+
+def charset_coverage_lines(n_lines: int, seed: int, max_chars: int = 16) -> list[str]:
+    """Deterministic random lines jointly covering every CHARSET glyph
+    ~uniformly: each line is 2-3 space-separated 'words' drawn from a
+    repeatedly reshuffled full-charset deck, so after N lines every
+    glyph has appeared ~N*11/146 times in varied left/right contexts."""
+    from ..imaging.glyphs import CHARSET
+
+    rng = np.random.default_rng(seed)
+    deck: list[str] = []
+    lines = []
+    for _ in range(n_lines):
+        n_words = int(rng.integers(2, 4))
+        words = []
+        budget = max_chars - (n_words - 1)
+        for w in range(n_words):
+            wl = int(rng.integers(2, min(7, max(3, budget - (n_words - 1 - w) * 2))))
+            budget -= wl
+            chars = []
+            for _ in range(wl):
+                if not deck:
+                    deck = list(CHARSET)
+                    rng.shuffle(deck)
+                chars.append(deck.pop())
+            words.append("".join(chars))
+        lines.append(" ".join(words))
+    return lines
+
+
+def charset_coverage_crops(tok, n_train: int = 2000, n_heldout: int = 200,
+                           seed: int = 61):
+    """(train, heldout) crop sets over the full charset, rendered and
+    preprocessed exactly like fixture_line_crops (every 5th line runs
+    the tinted truecolor codec round-trip). Held-out lines come from an
+    independent seed so evaluation text is never trained on."""
+    train = [
+        render_crop(line, tok, tinted=(i % 5 == 3))
+        for i, line in enumerate(charset_coverage_lines(n_train, seed))
+    ]
+    heldout = [
+        render_crop(line, tok, tinted=(i % 5 == 3))
+        for i, line in enumerate(charset_coverage_lines(n_heldout, seed + 1))
+    ]
+    return train, heldout

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Charset-coverage fine-tune: teach the trained recognizer its FULL
+glyph system.
+
+The fixture corpora cover only 24/146 charset glyphs (lowercase a-w +
+y), so the corpus-trained artifact cannot classify digits, punctuation,
+uppercase or any of the Khmer block — while the reference's model is a
+production Khmer+Latin recognizer over exactly this charset
+(/root/reference/kiri_ocr/model.py vocab). This stage fine-tunes the
+shipped artifact on the corpus train splits PLUS seeded synthetic lines
+that cover every glyph ~uniformly (train.charset_coverage_crops), then
+reports held-out CER on BOTH distributions — corpus exactness must
+survive, coverage CER must drop from ~1.0 (unseen glyphs) to ~0.
+
+Writes to a SEPARATE prefix by default so the shipped artifact is only
+replaced after the full oracle sweep validates the candidate.
+
+Usage: python scripts/charset_finetune.py [out_prefix] [epochs]
+Deterministic: fixed artifact input, seeded coverage lines, seeded
+shuffle, no dropout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+def main() -> int:
+    out_prefix = sys.argv[1] if len(sys.argv) > 1 else "models/trained_full"
+    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+
+    from kiri_ocr_spark.operators import train as T
+    from kiri_ocr_spark.operators.model import load_model, save_model
+
+    t0 = time.monotonic()
+    model = load_model("models/trained_small")
+    corpus_train, corpus_held = [], []
+    for d in SF_DIRS:
+        tr, he = T.fixture_line_crops(d, tok=model.tok)
+        corpus_train += tr
+        corpus_held += he
+    cov_train, cov_held = T.charset_coverage_crops(model.tok)
+    print(
+        f"crops: corpus {len(corpus_train)}/{len(corpus_held)} "
+        f"coverage {len(cov_train)}/{len(cov_held)}"
+    )
+
+    report = {
+        "corpus_train": len(corpus_train), "corpus_heldout": len(corpus_held),
+        "coverage_train": len(cov_train), "coverage_heldout": len(cov_held),
+        "epochs": epochs,
+    }
+    for name, held in (("corpus", corpus_held), ("coverage", cov_held)):
+        report[f"pre_cer_ctc_{name}"] = round(
+            T.evaluate_cer(model, held, method="ctc"), 5
+        )
+    print("pre:", {k: v for k, v in report.items() if k.startswith("pre")})
+
+    # converged artifact + gentle lr: no alignment warmup needed (the
+    # blank-collapse saddle threatens random inits; here the encoder
+    # already aligns frames, CTC just learns the new glyph classes)
+    hist = T.train(model, corpus_train + cov_train, epochs=epochs,
+                   batch_size=16, lr=2e-4, train_stem=True, align_epochs=0,
+                   lr_decay_at=(0.6,), val_samples=corpus_held + cov_held,
+                   val_every=2)
+    report["loss_history"] = [[round(a, 5), round(b, 5)] for a, b in hist]
+    for name, held in (("corpus", corpus_held), ("coverage", cov_held)):
+        report[f"post_cer_ctc_{name}"] = round(
+            T.evaluate_cer(model, held, method="ctc"), 5
+        )
+        report[f"post_cer_beam_{name}"] = round(
+            T.evaluate_cer(model, held, method="beam", limit=48), 5
+        )
+    report["finetune_sec"] = round(time.monotonic() - t0, 1)
+    save_model(model, out_prefix)
+    with open(out_prefix + "_charset_report.json", "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

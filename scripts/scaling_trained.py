@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence for the NEURAL (trained-weights)
+extraction stage.
+
+The recorded gate (scripts/scaling.py, BENCH/BASELINE.md) rides the
+template-recognizer kernel; this probe evidences the other production
+path — the trained transformer CTC decode over every media line
+(q_model_decode_trained's mapInPandas stage) — at local[N] vs local[4N]
+in fresh JVMs, same protocol (min-of-2 inside each JVM, min over 2 JVMs
+per level). The stage is compute-bound (~10 ms/crop of GEMMs vs the
+template kernel's ~0.26 ms/page memory-bound mix), so it should scale
+at least as well as the gate stage; this records it instead of assuming
+it.
+
+Usage: python scripts/scaling_trained.py [N=2] [sf_dir=/root/testdata/sf0.1]
+Appends one JSON line to BENCH/scaling_trained.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CODE = """
+import sys, time, json
+sys.path.insert(0, {repo!r})
+from kiri_ocr_spark.session import get_spark
+cpus = {cpus}
+spark = get_spark(app_name="trained-scale", master=f"local[{{cpus}}]",
+                  shuffle_partitions=2 * cpus)
+spark.sparkContext.setLogLevel("ERROR")
+from kiri_ocr_spark.queries import q_model_decode_trained
+df = q_model_decode_trained(spark, {sf_dir!r})
+def run():
+    t0 = time.time()
+    n = df.count()
+    return time.time() - t0, n
+run()  # warm: python workers + per-worker model load
+rs = [run() for _ in range(2)]
+print("LEVEL " + json.dumps({{"wall": round(min(r[0] for r in rs), 3),
+                              "lines": rs[0][1]}}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, sf_dir: str, repeats: int = 2) -> dict:
+    best = None
+    for _ in range(repeats):
+        out = subprocess.run(
+            [sys.executable, "-c", _CODE.format(repo=REPO, cpus=cpus, sf_dir=sf_dir)],
+            capture_output=True, text=True, cwd=REPO, check=True,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("LEVEL ")][-1]
+        r = json.loads(line[6:])
+        if best is None or r["wall"] < best["wall"]:
+            best = r
+    return best
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else int(
+        os.environ.get("SPARK_GRAFT_SCALE_N", "2")
+    )
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    low = run_level(n, sf_dir)
+    high = run_level(4 * n, sf_dir)
+    speedup = low["wall"] / high["wall"]
+    rec = {
+        "stage": "trained_ctc_decode", "sf_dir": sf_dir, "n": n,
+        "t_n_sec": low["wall"], "t_4n_sec": high["wall"],
+        "lines": low["lines"], "speedup": round(speedup, 3),
+        "efficiency_nominal": round(speedup / 4.0, 3),
+        "gate": "PASS" if speedup / 4.0 >= 0.8 else "FAIL",
+    }
+    print(json.dumps(rec))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling_trained.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
