@@ -16,6 +16,14 @@ Writes to a SEPARATE prefix by default so the shipped artifact is only
 replaced after the full oracle sweep validates the candidate.
 
 Usage: python scripts/charset_finetune.py [out_prefix] [epochs]
+       [in_prefix] [n_cov_train] [corpus_keep]
+Two documented stages reproduce the shipped artifact (the first teaches
+the glyph classes from the corpus-converged artifact, the second —
+coverage-heavy, corpus keep-alive subset — drives coverage to exactness
+without forgetting):
+    python scripts/charset_finetune.py models/trained_full 5
+    python scripts/charset_finetune.py models/trained_full 8 \
+        models/trained_full 4000 2000
 Deterministic: fixed artifact input, seeded coverage lines, seeded
 shuffle, no dropout.
 """
@@ -35,18 +43,28 @@ SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf
 def main() -> int:
     out_prefix = sys.argv[1] if len(sys.argv) > 1 else "models/trained_full"
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    in_prefix = sys.argv[3] if len(sys.argv) > 3 else "models/trained_small"
+    n_cov_train = int(sys.argv[4]) if len(sys.argv) > 4 else 2000
+    corpus_keep = int(sys.argv[5]) if len(sys.argv) > 5 else 0  # 0 = all
 
     from kiri_ocr_spark.operators import train as T
     from kiri_ocr_spark.operators.model import load_model, save_model
 
     t0 = time.monotonic()
-    model = load_model("models/trained_small")
+    model = load_model(in_prefix)
     corpus_train, corpus_held = [], []
     for d in SF_DIRS:
         tr, he = T.fixture_line_crops(d, tok=model.tok)
         corpus_train += tr
         corpus_held += he
-    cov_train, cov_held = T.charset_coverage_crops(model.tok)
+    if corpus_keep:
+        # deterministic keep-alive subset: corpus glyphs are already
+        # converged; a stride sample keeps them from being forgotten
+        # while coverage crops dominate the batches
+        stride = max(1, len(corpus_train) // corpus_keep)
+        corpus_train = corpus_train[::stride]
+    cov_train, cov_held = T.charset_coverage_crops(model.tok,
+                                                   n_train=n_cov_train)
     print(
         f"crops: corpus {len(corpus_train)}/{len(corpus_held)} "
         f"coverage {len(cov_train)}/{len(cov_held)}"
