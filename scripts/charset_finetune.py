@@ -16,14 +16,18 @@ Writes to a SEPARATE prefix by default so the shipped artifact is only
 replaced after the full oracle sweep validates the candidate.
 
 Usage: python scripts/charset_finetune.py [out_prefix] [epochs]
-       [in_prefix] [n_cov_train] [corpus_keep]
-Two documented stages reproduce the shipped artifact (the first teaches
-the glyph classes from the corpus-converged artifact, the second —
-coverage-heavy, corpus keep-alive subset — drives coverage to exactness
-without forgetting):
+       [in_prefix] [n_cov_train] [corpus_keep] [lr]
+Three documented stages reproduce the shipped artifact (the first
+teaches the glyph classes from the corpus-converged artifact, the
+second — coverage-heavy, corpus keep-alive subset — drives coverage
+toward exactness, the third — full corpus + doubled coverage lines
+at half lr — repairs the residual corpus/adjacency confusions the
+second stage left at CER ~2e-4/3e-3):
     python scripts/charset_finetune.py models/trained_full 5
     python scripts/charset_finetune.py models/trained_full 8 \
         models/trained_full 4000 2000
+    python scripts/charset_finetune.py models/trained_full 6 \
+        models/trained_full 8000 0 1e-4
 Deterministic: fixed artifact input, seeded coverage lines, seeded
 shuffle, no dropout.
 """
@@ -46,6 +50,7 @@ def main() -> int:
     in_prefix = sys.argv[3] if len(sys.argv) > 3 else "models/trained_small"
     n_cov_train = int(sys.argv[4]) if len(sys.argv) > 4 else 2000
     corpus_keep = int(sys.argv[5]) if len(sys.argv) > 5 else 0  # 0 = all
+    lr = float(sys.argv[6]) if len(sys.argv) > 6 else 2e-4
 
     from kiri_ocr_spark.operators import train as T
     from kiri_ocr_spark.operators.model import load_model, save_model
@@ -73,7 +78,7 @@ def main() -> int:
     report = {
         "corpus_train": len(corpus_train), "corpus_heldout": len(corpus_held),
         "coverage_train": len(cov_train), "coverage_heldout": len(cov_held),
-        "epochs": epochs,
+        "epochs": epochs, "lr": lr, "in_prefix": in_prefix,
     }
     for name, held in (("corpus", corpus_held), ("coverage", cov_held)):
         report[f"pre_cer_ctc_{name}"] = round(
@@ -85,7 +90,7 @@ def main() -> int:
     # blank-collapse saddle threatens random inits; here the encoder
     # already aligns frames, CTC just learns the new glyph classes)
     hist = T.train(model, corpus_train + cov_train, epochs=epochs,
-                   batch_size=16, lr=2e-4, train_stem=True, align_epochs=0,
+                   batch_size=16, lr=lr, train_stem=True, align_epochs=0,
                    lr_decay_at=(0.6,), val_samples=corpus_held + cov_held,
                    val_every=2)
     report["loss_history"] = [[round(a, 5), round(b, 5)] for a, b in hist]
