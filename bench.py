@@ -136,8 +136,9 @@ def trained_model_eval(sample_ctc: int = 120, sample_dec: int = 16) -> dict:
     seed model (judge r3 item 3: 'report in bench'). Driver-side numpy
     eval over the fixture held-out split — a diagnostic artifact like
     kernel_profile, not a data path. Empty dict when no artifact."""
-    base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "models")
-    path = os.path.join(base, "trained_small.npz")
+    from kiri_ocr_spark.queries import trained_model_path
+
+    path = trained_model_path()
     if not os.path.exists(path):
         return {}
     try:
@@ -146,7 +147,8 @@ def trained_model_eval(sample_ctc: int = 120, sample_dec: int = 16) -> dict:
 
         _, heldout = T.fixture_line_crops("/root/testdata/sf0.001")
         out = {"heldout_crops": len(heldout),
-               "artifact": "models/trained_small.npz"}
+               "artifact": os.path.relpath(path, os.path.dirname(
+                   os.path.abspath(__file__)))}
         for label, model in (
             ("seed", NumpyKiriModel(CFG())),
             ("trained", load_model(path)),
@@ -160,6 +162,16 @@ def trained_model_eval(sample_ctc: int = 120, sample_dec: int = 16) -> dict:
             out[f"{label}_cer_beam"] = round(
                 T.evaluate_cer(model, heldout, "beam", limit=sample_dec), 4
             )
+        # full-charset coverage: held-out seeded lines over glyph classes
+        # the corpora never contain (Khmer/uppercase/digits/punct) — the
+        # reference's model is a production Khmer+Latin recognizer, so
+        # the artifact is graded on its whole glyph system
+        _, cov_held = T.charset_coverage_crops(model.tok, n_train=0,
+                                               n_heldout=48)
+        out["coverage_heldout_crops"] = len(cov_held)
+        out["trained_cer_ctc_coverage"] = round(
+            T.evaluate_cer(model, cov_held, "ctc", limit=48), 4
+        )
         return out
     except Exception as e:  # diagnostic block must never sink the bench
         return {"error": repr(e)}

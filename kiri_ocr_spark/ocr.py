@@ -17,9 +17,11 @@ Python loop). Method/decode switches mirror the reference:
   legacy fallback with a warning only if resolution fails).
 - ``decode_method`` (core.py:141-158 normalization, aliases included):
   'fast'/'ctc' -> the loaded model's CTC head when ``model_path`` is
-  given (the reference's fast path; the in-sandbox-trained artifact
-  models/trained_small.npz decodes exactly, including words never seen
-  in training), else the glyph-template CTC construction (this
+  given (the reference's fast path; the in-sandbox-trained artifacts
+  models/trained_full.npz (full 146-glyph charset) and
+  models/trained_small.npz (corpus-only) decode exactly, including
+  words never seen in training), else the glyph-template CTC
+  construction (this
   engine's no-weights exactness path); 'accurate'/'decoder' -> the
   transformer's greedy decode; 'beam' -> its beam search. Weights load
   via the S3 loader when ``model_path`` is given (save_model/

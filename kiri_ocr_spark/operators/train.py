@@ -869,3 +869,48 @@ def charset_coverage_crops(tok, n_train: int = 2000, n_heldout: int = 200,
         for i, line in enumerate(charset_coverage_lines(n_heldout, seed + 1))
     ]
     return train, heldout
+
+
+def charset_pattern_lines(n_lines: int, seed: int) -> list[str]:
+    """Lines from the model_decode_charset oracle's PATTERN FAMILY
+    ('Id:<khmer-digits> #<d%100> <Upper><sym>') drawn from doc_ids with
+    ``d % 17 != 0`` — the oracle samples exactly ``d % 17 == 0``, so
+    every oracle line stays held out of training. The family's fixed
+    skeleton produces the adjacency bigrams (uppercase directly before a
+    symbol, two-digit runs after '#') that uniform coverage lines
+    under-sample: the stage-3 artifact's only residual misses were
+    'E<sym>' CTC-doubling and '41' -> '4a1' insertions on this family."""
+    rng = np.random.default_rng(seed)
+    kh = "កខគឃងចឆជឈញ"
+    syms = "!?%&*+=@"
+    lines: list[str] = []
+    seen: set[int] = set()
+    while len(lines) < n_lines:
+        d = int(rng.integers(0, 100_000))
+        if d % 17 == 0 or d in seen:
+            continue
+        seen.add(d)
+        lines.append(
+            "Id:" + "".join(kh[int(c)] for c in str(d))
+            + f" #{d % 100} " + chr(65 + d % 26) + syms[d % 8]
+        )
+    return lines
+
+
+def charset_pattern_crops(tok, n_train: int = 2000, n_heldout: int = 100,
+                          seed: int = 71):
+    """(train, heldout) crops over the oracle pattern family, rendered
+    under the same contract as charset_coverage_crops (every 5th line
+    tinted). One seeded draw split train/heldout — the in-draw dedup
+    guarantees no id (hence no line) appears in both — and the oracle's
+    own ids (% 17 == 0) are excluded from BOTH by construction."""
+    lines = charset_pattern_lines(n_train + n_heldout, seed)
+    train = [
+        render_crop(line, tok, tinted=(i % 5 == 3))
+        for i, line in enumerate(lines[:n_train])
+    ]
+    heldout = [
+        render_crop(line, tok, tinted=(i % 5 == 3))
+        for i, line in enumerate(lines[n_train:])
+    ]
+    return train, heldout

@@ -2724,22 +2724,28 @@ WHERE n_media > 0
 
 
 def trained_model_path() -> str:
-    """Committed in-sandbox-trained artifact (scripts/train_model.py);
-    ships to executors via ``spark-submit --files`` on a real cluster —
-    in local mode the repo path is visible to every worker directly."""
+    """Committed in-sandbox-trained artifact; ships to executors via
+    ``spark-submit --files`` on a real cluster — in local mode the repo
+    path is visible to every worker directly. Prefers the FULL-CHARSET
+    artifact (models/trained_full.npz — scripts/train_model.py +
+    finetune_model.py + the two documented charset_finetune.py stages,
+    covering all 146 charset glyphs like the reference's production
+    Khmer+Latin recognizer) and falls back to the corpus-only
+    trained_small.npz when the full artifact isn't built."""
     import os
 
-    return os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "models",
-        "trained_small.npz",
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "models"
     )
+    full = os.path.join(base, "trained_full.npz")
+    return full if os.path.exists(full) else os.path.join(base, "trained_small.npz")
 
 
 def q_model_decode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-LINE neural decode of the sampled media pages through the
-    in-sandbox-TRAINED weights (models/trained_small.npz, produced by
-    scripts/train_model.py; loaded via the S3 artifact path + M8
+    in-sandbox-TRAINED weights (trained_model_path() — the full-charset
+    artifact from scripts/train_model.py + finetune_model.py +
+    charset_finetune.py; loaded via the S3 artifact path + M8
     per-worker cache), value-matched against the construction oracle's
     expected line text — the same bar as extract_spans, but the
     recognizer is the trained numpy transformer's CTC head, not the
@@ -2876,6 +2882,66 @@ def _ocr_document_lines(det_method: str):
             )
 
     return fn
+
+
+_KH_DIGITS = "កខគឃងចឆជឈញ"
+_CHARSET_SYMS = "!?%&*+=@"
+
+
+def q_model_decode_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-charset decode proof: render a doc_id-derived line mixing
+    Khmer consonants (digit-mapped), uppercase, digits and punctuation —
+    glyph classes the fixture corpora never contain (they cover 24/146
+    charset glyphs) — and decode it through the TRAINED weights. Text
+    equality vs the oracle's direct construction proves the in-sandbox
+    artifact classifies the reference's full Khmer+Latin glyph system
+    (/root/reference/kiri_ocr/model.py charset), not just corpus
+    lowercase. Same render+preprocess contract as the training crops
+    (train.render_crop)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sample = docs.filter((F.col("doc_id") % 17) == 0).select("doc_id")
+    path = trained_model_path()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .imaging.glyphs import render_page
+        from .operators.detect import resize_keep_ratio_pad
+        from .operators.model import get_model
+
+        model = get_model(path=path)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, crops = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                line = (
+                    "Id:" + "".join(_KH_DIGITS[int(c)] for c in str(d))
+                    + f" #{d % 100} " + chr(65 + d % 26)
+                    + _CHARSET_SYMS[d % 8]
+                )
+                ids.append(d)
+                crops.append(resize_keep_ratio_pad(render_page([line])))
+            texts = []
+            for i in range(0, len(crops), 8):
+                chunk = np.stack(crops[i : i + 8]).astype(np.float32)
+                texts.extend(
+                    t for t, _ in model.ctc_greedy(model.encode(chunk, fp32=True))
+                )
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    return sample.mapInPandas(fn, schema="doc_id long, text string")
+
+
+_MODEL_DECODE_CHARSET_SQL = """
+SELECT doc_id,
+       'Id:' || translate(CAST(doc_id AS VARCHAR), '0123456789', 'កខគឃងចឆជឈញ')
+           || ' #' || CAST(doc_id % 100 AS VARCHAR) || ' '
+           || chr(65 + CAST(doc_id % 26 AS INT))
+           || substr('!?%&*+=@', CAST(doc_id % 8 AS INT) + 1, 1) AS text
+FROM documents WHERE doc_id % 17 = 0
+"""
 
 
 def q_media_text_craft(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3165,6 +3231,7 @@ def query_registry() -> dict[str, QueryFn]:
         "finder_candidates": q_finder_candidates,
         "model_decode": q_model_decode,
         "model_decode_trained": q_model_decode_trained,
+        "model_decode_charset": q_model_decode_charset,
         "media_text_craft": q_media_text_craft,
         "media_text_db": q_media_text_db,
         "pipeline_health": q_pipeline_health,
@@ -3233,6 +3300,7 @@ def oracle_registry() -> dict[str, str]:
         "finder_candidates": _FINDER_SQL.strip(),
         "model_decode": _MODEL_DECODE_SQL.strip(),
         "model_decode_trained": _MODEL_DECODE_TRAINED_SQL.strip(),
+        "model_decode_charset": _MODEL_DECODE_CHARSET_SQL.strip(),
         "media_text_craft": _MODEL_DECODE_TRAINED_SQL.strip(),
         "media_text_db": _MODEL_DECODE_TRAINED_SQL.strip(),
         "pipeline_health": _PIPELINE_HEALTH_SQL.strip(),

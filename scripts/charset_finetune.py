@@ -16,18 +16,24 @@ Writes to a SEPARATE prefix by default so the shipped artifact is only
 replaced after the full oracle sweep validates the candidate.
 
 Usage: python scripts/charset_finetune.py [out_prefix] [epochs]
-       [in_prefix] [n_cov_train] [corpus_keep] [lr]
-Three documented stages reproduce the shipped artifact (the first
+       [in_prefix] [n_cov_train] [corpus_keep] [lr] [n_pattern]
+Four documented stages reproduce the shipped artifact (the first
 teaches the glyph classes from the corpus-converged artifact, the
 second — coverage-heavy, corpus keep-alive subset — drives coverage
 toward exactness, the third — full corpus + doubled coverage lines
 at half lr — repairs the residual corpus/adjacency confusions the
-second stage left at CER ~2e-4/3e-3):
+second stage left at CER ~2e-4/3e-3, the fourth adds oracle-pattern
+FAMILY lines (train.charset_pattern_lines; the oracle's own % 17 == 0
+ids are excluded by construction) to repair the residual adjacency
+bigrams uniform coverage under-samples — 'E<sym>' CTC-doubling and
+'#41' digit-run insertions):
     python scripts/charset_finetune.py models/trained_full 5
     python scripts/charset_finetune.py models/trained_full 8 \
         models/trained_full 4000 2000
     python scripts/charset_finetune.py models/trained_full 6 \
         models/trained_full 8000 0 1e-4
+    python scripts/charset_finetune.py models/trained_full 3 \
+        models/trained_full 4000 0 5e-5 3000
 Deterministic: fixed artifact input, seeded coverage lines, seeded
 shuffle, no dropout.
 """
@@ -51,6 +57,7 @@ def main() -> int:
     n_cov_train = int(sys.argv[4]) if len(sys.argv) > 4 else 2000
     corpus_keep = int(sys.argv[5]) if len(sys.argv) > 5 else 0  # 0 = all
     lr = float(sys.argv[6]) if len(sys.argv) > 6 else 2e-4
+    n_pattern = int(sys.argv[7]) if len(sys.argv) > 7 else 0
 
     from kiri_ocr_spark.operators import train as T
     from kiri_ocr_spark.operators.model import load_model, save_model
@@ -70,17 +77,26 @@ def main() -> int:
         corpus_train = corpus_train[::stride]
     cov_train, cov_held = T.charset_coverage_crops(model.tok,
                                                    n_train=n_cov_train)
+    pat_train, pat_held = (
+        T.charset_pattern_crops(model.tok, n_train=n_pattern)
+        if n_pattern else ([], [])
+    )
     print(
         f"crops: corpus {len(corpus_train)}/{len(corpus_held)} "
-        f"coverage {len(cov_train)}/{len(cov_held)}"
+        f"coverage {len(cov_train)}/{len(cov_held)} "
+        f"pattern {len(pat_train)}/{len(pat_held)}"
     )
 
     report = {
         "corpus_train": len(corpus_train), "corpus_heldout": len(corpus_held),
         "coverage_train": len(cov_train), "coverage_heldout": len(cov_held),
+        "pattern_train": len(pat_train), "pattern_heldout": len(pat_held),
         "epochs": epochs, "lr": lr, "in_prefix": in_prefix,
     }
-    for name, held in (("corpus", corpus_held), ("coverage", cov_held)):
+    evals = [("corpus", corpus_held), ("coverage", cov_held)]
+    if n_pattern:
+        evals.append(("pattern", pat_held))
+    for name, held in evals:
         report[f"pre_cer_ctc_{name}"] = round(
             T.evaluate_cer(model, held, method="ctc"), 5
         )
@@ -89,12 +105,13 @@ def main() -> int:
     # converged artifact + gentle lr: no alignment warmup needed (the
     # blank-collapse saddle threatens random inits; here the encoder
     # already aligns frames, CTC just learns the new glyph classes)
-    hist = T.train(model, corpus_train + cov_train, epochs=epochs,
-                   batch_size=16, lr=lr, train_stem=True, align_epochs=0,
-                   lr_decay_at=(0.6,), val_samples=corpus_held + cov_held,
+    hist = T.train(model, corpus_train + cov_train + pat_train,
+                   epochs=epochs, batch_size=16, lr=lr, train_stem=True,
+                   align_epochs=0, lr_decay_at=(0.6,),
+                   val_samples=corpus_held + cov_held + pat_held,
                    val_every=2)
     report["loss_history"] = [[round(a, 5), round(b, 5)] for a, b in hist]
-    for name, held in (("corpus", corpus_held), ("coverage", cov_held)):
+    for name, held in evals:
         report[f"post_cer_ctc_{name}"] = round(
             T.evaluate_cer(model, held, method="ctc"), 5
         )

@@ -241,3 +241,67 @@ def test_charset_coverage_lines_cover_every_glyph_deterministically():
     held = T.charset_coverage_lines(50, seed=62)
     assert not set(held) & set(a)  # independent seed, no leakage
 
+
+
+def test_trained_model_path_prefers_full_charset_artifact():
+    """queries.trained_model_path ships the full-charset artifact when
+    built (the production-shaped recognizer), falling back to the
+    corpus-only one — both are committed, so on this repo it must
+    resolve to trained_full.npz."""
+    import os
+
+    from kiri_ocr_spark.queries import trained_model_path
+
+    path = trained_model_path()
+    assert os.path.exists(path)
+    base = os.path.basename(path)
+    models = os.path.dirname(path)
+    if os.path.exists(os.path.join(models, "trained_full.npz")):
+        assert base == "trained_full.npz"
+    else:
+        assert base == "trained_small.npz"
+
+
+def test_full_charset_artifact_decodes_unseen_glyph_classes():
+    """The shipped full-charset artifact must exactly decode lines made
+    of glyph classes the fixture corpora never contain (Khmer block,
+    digits, uppercase, punctuation) under the training render contract —
+    the bar the model_decode_charset oracle enforces distributively
+    (reference: benchmark/run_benchmark.py renders known text and
+    requires exact lines back over the production charset)."""
+    import os
+
+    from kiri_ocr_spark.imaging.glyphs import render_page
+    from kiri_ocr_spark.operators.detect import resize_keep_ratio_pad
+    from kiri_ocr_spark.operators.model import load_model
+    from kiri_ocr_spark.queries import trained_model_path
+
+    path = trained_model_path()
+    if os.path.basename(path) != "trained_full.npz":
+        pytest.skip("full-charset artifact not built (charset_finetune.py)")
+    model = load_model(path)
+    lines = ["Id:កខគ #42 Q?", "A7%&* ជឈញ", "Zx9!+= ងចឆ"]
+    for line in lines:
+        img = resize_keep_ratio_pad(render_page([line]))
+        ((text, _),) = model.ctc_greedy(
+            model.encode(img[None].astype(np.float32), fp32=True)
+        )
+        assert text == line
+
+
+def test_charset_pattern_lines_hold_out_oracle_ids():
+    """The stage-4 pattern-family generator must (a) be deterministic,
+    (b) never emit an id the model_decode_charset oracle samples
+    (d % 17 == 0) — the oracle's lines stay held out of training by
+    construction — and (c) never duplicate an id, so the train/heldout
+    split in charset_pattern_crops is leak-free."""
+    import re
+
+    kh = "កខគឃងចឆជឈញ"
+    a = T.charset_pattern_lines(300, seed=71)
+    assert a == T.charset_pattern_lines(300, seed=71)
+    assert len(set(a)) == 300
+    for line in a:
+        m = re.match("Id:([" + kh + "]+) #", line)
+        d = int("".join(str(kh.index(c)) for c in m.group(1)))
+        assert d % 17 != 0, line
