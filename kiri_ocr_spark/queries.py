@@ -2899,7 +2899,10 @@ def q_model_decode_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowercase. Same render+preprocess contract as the training crops
     (train.render_crop)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sample = docs.filter((F.col("doc_id") % 17) == 0).select("doc_id")
+    # single-row-group parquet arrives as ONE task and the render+decode
+    # below is ~10 ms/row of CPU — row-count repartition before the
+    # neural stage (no-op once scans arrive with real parallelism)
+    sample = _spread(docs.filter((F.col("doc_id") % 17) == 0).select("doc_id"))
     path = trained_model_path()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -118,13 +118,21 @@ def test_per_partition_kernel_time_is_distinct(spark, fixture_tables, tmp_path):
     # the wave wall is a single per-wave constant and bounds any part's time
     assert rows["wave_wall_ms"].nunique() == 1
     assert (rows["kernel_ms"] <= rows["wave_wall_ms"]).all()
-    # partitions with more media spans accumulate more kernel time
+    # partitions with more media spans accumulate more kernel time.
+    # Preemption spikes are ADDITIVE and hit the near-zero light
+    # partitions, so only lights are trimmed against the median; the
+    # heavy partition is the signal and is never trimmed (in a QUIET
+    # window the memoized recognizer reads 0 ms on every light, the
+    # median is 0, and a global trim would discard the heavy's
+    # legitimate ~10 ms as the 'outlier').
     med = max(float(rows["kernel_ms"].median()), 1.0)
-    trimmed = rows["kernel_ms"].where(rows["kernel_ms"] <= 3 * med)
-    per_span = (trimmed / rows["media_spans"].clip(lower=1)).mean()
-    fixed = trimmed.fillna(rows["media_spans"] * per_span)
-    heavy = float(fixed[rows["media_spans"].idxmax()])
-    light = float(fixed[rows["media_spans"].idxmin()])
+    heavy_idx = rows["media_spans"].idxmax()
+    lights = rows.drop(index=heavy_idx)
+    light = float(
+        lights["kernel_ms"].where(lights["kernel_ms"] <= 3 * med)
+        .fillna(med).max()
+    )
+    heavy = float(rows.loc[heavy_idx, "kernel_ms"])
     assert rows["media_spans"].max() >= 3 * rows["media_spans"].min() + 4
     assert heavy > light, (rows.to_dict("records"), heavy, light)
 
