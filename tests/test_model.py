@@ -317,3 +317,23 @@ def test_fp32_encode_matches_float64_within_rounding(model):
     m32 = model.encode(img, fp32=True)
     assert m64.dtype == np.float64 and m32.dtype == np.float32
     assert np.max(np.abs(m64 - m32)) < 1e-3
+
+
+def test_beam_steps_final_equals_batch_under_ctc_fusion():
+    """M7 law extended to the FUSED path: with CTC_FUSION_ALPHA > 0 the
+    streaming beam's final yield must still equal beam_decode exactly —
+    the shipped trained_full meta turns fusion on (alpha 0.4, measured:
+    coverage beam CER 0.0869 -> 0.0356), so the stream/batch parity the
+    retraction sink relies on has to hold under fusion too."""
+    fused = NumpyKiriModel(CFG(CTC_FUSION_ALPHA=0.4))
+    rng = np.random.default_rng(29)
+    for _ in range(3):
+        img = (rng.random((48, 160)) * 255).astype(np.uint8)
+        mem = fused.encode(img[None].astype(np.float32))[0]
+        final = None
+        for ev in fused.beam_decode_steps(mem):
+            final = ev
+        text, conf = fused.beam_decode(mem)
+        assert final["finished"]
+        assert final["text"] == text
+        assert abs(final["confidence"] - conf) < 1e-12
