@@ -170,7 +170,18 @@ def build_media(flat_docs: DataFrame) -> DataFrame:
             F.expr("m % 5 = 3").alias("tint"),
         )
     )
-    return specs.repartition(nparts, "media_ref").mapInPandas(
+    # ROUND-ROBIN, not hash(media_ref): the cache writes one file per
+    # partition, and downstream ~10 ms/row neural stages (trained decode,
+    # conv detect+recognize) read those files back packed by byte size.
+    # Hash partitioning leaves Poisson row-count variance per file
+    # (measured 31-64 rows across 128 files at sf0.1), which compounds
+    # under read-side packing into a 1.77x pages-per-partition spread
+    # (509-900) — and a single wave of slot-count tasks then runs at the
+    # SLOWEST task's pace (trained-decode stage 16.2s vs 12.0s balanced
+    # at sf0.1/local[8]). Round-robin makes every file's row count equal
+    # by construction, so any byte packing yields row-balanced scans at
+    # every core count with no query-time reshuffle.
+    return specs.repartition(nparts).mapInPandas(
         _render_batches, schema=MEDIA_SCHEMA
     )
 
@@ -183,8 +194,8 @@ def fixture_spec_key(sf_dir: str) -> str:
 
     from .imaging import glyphs
 
-    spec = (
-        f"v3|{glyphs.GLYPH_W}|{glyphs.GLYPH_H}|{glyphs.CHAR_GAP}|"
+    spec = (  # v4: media cache files round-robin row-balanced
+        f"v4|{glyphs.GLYPH_W}|{glyphs.GLYPH_H}|{glyphs.CHAR_GAP}|"
         f"{glyphs.SPACE_GAP}|{glyphs.LINE_GAP}|{glyphs.PAD_X}|{glyphs.PAD_Y}|"
         f"{glyphs.SCALE}|{sf_dir}"
     )

@@ -55,6 +55,17 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+# NOTE on feeding ~10 ms/row NEURAL stages (trained CTC decode, conv
+# detect+recognize): they read the media table DIRECTLY — no query-time
+# repartition. Balance is guaranteed at the SOURCE instead
+# (fixtures.build_media round-robins the cache files so every scan split
+# is row-balanced at any core count). A query-time round-robin shuffle of
+# the page bytes was measured both ways at sf0.1: it fixed the skew at
+# local[8] (16.2 -> 12.5 s) but at local[32] the shuffle itself cost more
+# than the tail it saved (2.2 -> 4.0 s) — fixing the producer's layout
+# wins at every core count and costs nothing per query.
+
+
 # --------------------------------------------------------------------------
 # 1. Flagship: full OCR extraction vs construction-time oracle
 # --------------------------------------------------------------------------
