@@ -188,6 +188,13 @@ def pos_enc_2d(h: int, w: int, d: int) -> np.ndarray:
 
 # --- model ------------------------------------------------------------------
 
+# Stacked-forward batch size for the encode hot path. Layer-1 im2col is
+# B x 48 x 640 x 9 floats, so throughput is cache-bound, not GEMM-bound:
+# quiet-host sweep at 1 BLAS thread (the per-worker deployment condition)
+# read 7.2 ms/crop at B=4 vs 8.9 at B=8, 9.9 at B=16, 14.5 at B=64 —
+# the L3 working set, not batching efficiency, sets the optimum.
+ENCODE_CHUNK = 4
+
 
 def _mha(q, k, v, n_heads, wq, wk, wv, wo, mask=None):
     """Multi-head attention over [B, T, D] arrays."""

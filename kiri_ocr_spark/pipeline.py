@@ -179,16 +179,16 @@ def _ocr_batches_trained(model_path: str):
                 t_now = time.monotonic()
                 row_us[ri] = int((t_now - t_prev) * 1_000_000)
                 t_prev = t_now
-            # one stacked forward per chunk. Chunk = 8, NOT bigger:
-            # layer-1 im2col is B x 48 x 640 x 9, so large chunks
-            # blow the cache (quiet-host A/B: 18.4 ms/crop at 4-8 vs
-            # 27.6 at 64 — batching degrades past the L3 working set).
+            # one stacked forward per chunk, sized by ENCODE_CHUNK (the
+            # cache-bound optimum — see its definition in operators/model).
             # fp32: the reference's inference dtype (torch/ONNX float32),
             # ~2x on the GEMM-bound stem; oracle stays per-line text-exact
+            from .operators.model import ENCODE_CHUNK
+
             decoded: list[tuple[str, float]] = []
             t0 = time.monotonic()
-            for i in range(0, len(crops), 8):
-                chunk = np.stack(crops[i : i + 8]).astype(np.float32)
+            for i in range(0, len(crops), ENCODE_CHUNK):
+                chunk = np.stack(crops[i : i + ENCODE_CHUNK]).astype(np.float32)
                 decoded.extend(model.ctc_greedy(model.encode(chunk, fp32=True)))
             if crops:  # spread encode cost over owning rows' kernel time
                 per = int((time.monotonic() - t0) * 1_000_000 / len(crops))

@@ -2802,11 +2802,13 @@ def q_model_decode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
                     crops.append(resize_keep_ratio_pad(crop))
             if not crops:
                 continue
-            # chunk 8: layer-1 im2col cache blowup past ~8 crops (see
-            # pipeline._ocr_batches_trained)
+            from .operators.model import ENCODE_CHUNK
+
             texts = []
-            for i in range(0, len(crops), 8):
-                chunk = np.stack(crops[i : i + 8]).astype(np.float32)
+            for i in range(0, len(crops), ENCODE_CHUNK):
+                chunk = np.stack(crops[i : i + ENCODE_CHUNK]).astype(
+                    np.float32
+                )
                 texts.extend(
                     t for t, _ in model.ctc_greedy(model.encode(chunk, fp32=True))
                 )
@@ -2937,9 +2939,13 @@ def q_model_decode_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 ids.append(d)
                 crops.append(resize_keep_ratio_pad(render_page([line])))
+            from .operators.model import ENCODE_CHUNK
+
             texts = []
-            for i in range(0, len(crops), 8):
-                chunk = np.stack(crops[i : i + 8]).astype(np.float32)
+            for i in range(0, len(crops), ENCODE_CHUNK):
+                chunk = np.stack(crops[i : i + ENCODE_CHUNK]).astype(
+                    np.float32
+                )
                 texts.extend(
                     t for t, _ in model.ctc_greedy(model.encode(chunk, fp32=True))
                 )
