@@ -25,7 +25,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE_QUERIES = [
-    "extract_spans_trained",
+    # round 6: extract_spans (the top-level timing) IS the trained path
+    # now — the default-recognizer flip made the flagship decode through
+    # the trained transformer. The retired template construction keeps
+    # its own timing here for round-over-round continuity.
+    "extract_spans_template",
     "media_text_craft",
     "minhash_pairs",
     "minhash_verified",
@@ -430,18 +434,32 @@ def main() -> None:
     # The driver's BENCH_r{N}.json has captured only the tail of this
     # stdout line four rounds running (parsed: null) — persist the full
     # artifact on disk too, named for the round the driver is about to
-    # record (1 + the highest BENCH_r*.json already at the repo root).
+    # record. Tag = max(root_max + 1, tracked_dir_max): the repo-root
+    # BENCH_r*.json files are driver-written at round END (so +1 names
+    # the round in progress), while the tracked BENCH/bench_r*.json
+    # history may already hold the CURRENT round's tag (the driver's
+    # wrap-up bench run lands there too). On a fresh clone only the
+    # tracked history exists — deriving from it keeps the tag from
+    # resetting to r01 and colliding with prior rounds.
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         import glob as _glob
         import re as _re
 
-        rounds = [
-            int(m.group(1))
-            for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
-            if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
-        ]
-        tag = f"r{(max(rounds, default=0) + 1):02d}"
+        def _max_round(pattern: str) -> int:
+            return max(
+                (
+                    int(m.group(1))
+                    for p in _glob.glob(pattern)
+                    if (m := _re.search(r"r(\d+)\.json$", p))
+                ),
+                default=0,
+            )
+
+        tag = "r%02d" % max(
+            _max_round(os.path.join(here, "BENCH_r*.json")) + 1,
+            _max_round(os.path.join(here, "BENCH", "bench_r*.json")),
+        )
         os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
         for name in (f"bench_{tag}.json", "bench_latest.json"):
             with open(os.path.join(here, "BENCH", name), "w") as f:

@@ -153,11 +153,16 @@ class OCR:
         ty0, ty1 = y0 + int(ys.min()), y0 + int(ys.max()) + 1
         tx0, tx1 = x0 + int(xs.min()), x0 + int(xs.max()) + 1
         crop = pad_training_margins(gray[ty0:ty1, tx0:tx1])
-        # fp32 inference — the reference's deployment dtype (its torch /
-        # ONNX checkpoints are float32); decode margins dwarf the ~4e-6
-        # forward divergence, re-verified by the text-equality oracles
+        # fp32 inference for TRAINED weights — the reference's deployment
+        # dtype (its torch / ONNX checkpoints are float32); decode margins
+        # dwarf the ~4e-6 forward divergence, re-verified by the
+        # text-equality oracles. Seed weights (model_path=None) stay f64:
+        # seed logits are tie-fragile in fp32 (model.encode docstring) and
+        # streaming/extract.decode_step_events keeps seed decode f64 —
+        # gating here keeps OCR and stream seed decodes in agreement.
         mem = self.model.encode(
-            resize_keep_ratio_pad(crop)[None].astype(np.float32), fp32=True
+            resize_keep_ratio_pad(crop)[None].astype(np.float32),
+            fp32=self._model_path is not None,
         )[0]
         if self.decode_method == "ctc":
             # model_path given: 'fast' IS the loaded model's CTC head,
@@ -166,6 +171,33 @@ class OCR:
         if self.decode_method == "beam":
             return self.model.beam_decode(mem)
         return self.model.greedy_decode(mem)
+
+    def _detect_line_boxes(self, gray: np.ndarray, ink: np.ndarray):
+        """Lines-mode detection shared by process_document AND
+        extract_text_stream_chars (both must see identical regions —
+        the stream contract is 'same text, token at a time').
+
+        The in-sandbox-calibrated neural detectors emit word/
+        region-grade boxes; normalize to recognition-grade text
+        lines: W3 row clustering over the boxes, then a blank-
+        row band split inside each row hull (DB's unclipped
+        regions can span two tight lines). A production-trained
+        DBNet/CRAFT emits line-grade regions and both steps
+        reduce to no-ops. Text-match verified per line against
+        the construction oracle (media_text_db/_craft queries)."""
+        boxes = self.detector.detect_boxes(gray)
+        if self.detector.method in ("db", "craft"):
+            from .operators.detect import (
+                merge_boxes_into_rows,
+                split_box_at_blank_rows,
+            )
+
+            boxes = [
+                (int(b[0]), int(b[1]), int(b[2]), int(b[3]), float(row[4]))
+                for row in merge_boxes_into_rows(boxes)
+                for b in split_box_at_blank_rows(ink, row)
+            ]
+        return boxes
 
     # -- reference public surface ------------------------------------------
 
@@ -176,26 +208,7 @@ class OCR:
         gray = self._load_gray(image)
         ink = binarize(gray)
         if mode == "lines":
-            boxes = self.detector.detect_boxes(gray)
-            if self.detector.method in ("db", "craft"):
-                # The in-sandbox-calibrated neural detectors emit word/
-                # region-grade boxes; normalize to recognition-grade text
-                # lines: W3 row clustering over the boxes, then a blank-
-                # row band split inside each row hull (DB's unclipped
-                # regions can span two tight lines). A production-trained
-                # DBNet/CRAFT emits line-grade regions and both steps
-                # reduce to no-ops. Text-match verified per line against
-                # the construction oracle (media_text_db/_craft queries).
-                from .operators.detect import (
-                    merge_boxes_into_rows,
-                    split_box_at_blank_rows,
-                )
-
-                boxes = [
-                    (int(b[0]), int(b[1]), int(b[2]), int(b[3]), float(row[4]))
-                    for row in merge_boxes_into_rows(boxes)
-                    for b in split_box_at_blank_rows(ink, row)
-                ]
+            boxes = self._detect_line_boxes(gray, ink)
         elif mode == "words":
             boxes = [(bx, by, bw, bh, 1.0) for bx, by, bw, bh in
                      self.detector.detect_words(gray)]
@@ -246,7 +259,7 @@ class OCR:
         gray = self._load_gray(image)
         ink = binarize(gray)
         boxes = (
-            self.detector.detect_boxes(gray)
+            self._detect_line_boxes(gray, ink)
             if mode == "lines"
             else [(bx, by, bw, bh, 1.0) for bx, by, bw, bh in
                   self.detector.detect_words(gray)]

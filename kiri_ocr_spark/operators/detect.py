@@ -627,6 +627,12 @@ def pad_training_margins(region: np.ndarray) -> np.ndarray:
     from ..imaging.glyphs import PAD_X, PAD_Y
 
     bg = int(region.max()) if region.size else 255
+    if bg < 160:
+        # all-ink crop (e.g. a solid block glyph): the max IS ink luma,
+        # not background — fall back to the plain-page 255 the constant
+        # pad used. 160 cleanly separates ink (<128 after invert_if_dark)
+        # from both background lumas (255 plain, 239 tinted codec).
+        bg = 255
     return np.pad(region, ((PAD_Y, PAD_Y), (PAD_X, PAD_X)), constant_values=bg)
 
 

@@ -636,6 +636,21 @@ def load_model(model_path: str) -> NumpyKiriModel:
 
     if not model_path.endswith(".npz"):
         model_path += ".npz"
+    if not os.path.exists(model_path):
+        # spark-submit --files ship path: a bare artifact name (or a path
+        # that doesn't exist on THIS machine) resolves to the process's
+        # SparkFiles dir — the per-process resolution a real cluster
+        # needs, since a driver-side absolute path means nothing on an
+        # executor's filesystem. The meta sidecar and vocab.json resolve
+        # next to it automatically (--files lands everything flat).
+        try:
+            from pyspark import SparkFiles
+
+            cand = SparkFiles.get(os.path.basename(model_path))
+            if os.path.exists(cand):
+                model_path = cand
+        except Exception:
+            pass
     with np.load(model_path) as z:
         sd = {k: z[k] for k in z.files}
     cfg = CFG()

@@ -159,6 +159,11 @@ def _ocr_batches_trained(model_path: str):
             owners: list[int] = []  # crop -> row index
             t_prev = time.monotonic()
             for ri, blob in enumerate(pdf["png_bytes"]):
+                # snapshot so a mid-page quarantine rolls back any crops
+                # already appended for this row — otherwise the decode
+                # loop later overwrites the row's text=NULL dead-letter
+                # marker with partial text while n_lines stays -1
+                n_crops_at_row_start = len(crops)
                 try:
                     if blob is None:
                         raise ValueError("missing media payload")
@@ -175,7 +180,9 @@ def _ocr_batches_trained(model_path: str):
                     nlines[ri] = len(boxes)
                     texts[ri] = ""  # no-line page decodes to empty text
                 except _QUARANTINE:
-                    pass  # quarantine markers already in place
+                    del crops[n_crops_at_row_start:]
+                    del owners[n_crops_at_row_start:]
+                    # quarantine markers already in place
                 t_now = time.monotonic()
                 row_us[ri] = int((t_now - t_prev) * 1_000_000)
                 t_prev = t_now
@@ -223,10 +230,17 @@ def extract_span_rows(
     media_partitions: int | None = None,
     broadcast_media: bool = False,
     keep_kernel_us: bool = False,
-    recognizer: str = "template",
+    recognizer: str = "trained",
 ) -> DataFrame:
     """Span-level extraction: one row per span with recognized/normalized
-    text, confidence and lineage columns. No assembly shuffle yet."""
+    text, confidence and lineage columns. No assembly shuffle yet.
+
+    ``recognizer`` defaults to "trained" — every media line decodes
+    through the in-sandbox-trained numpy transformer's CTC head, matching
+    the reference's architecture (core.py:719-793 ALWAYS decodes through
+    the model; it has no template mode). "template" keeps the glyph-
+    template construction path reachable for fixture tests and as the
+    no-weights fallback."""
     spark = docs.sparkSession
     spans = docs.select(
         "doc_id", F.explode("spans").alias("s")

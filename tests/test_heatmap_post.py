@@ -550,3 +550,24 @@ def test_row_extreme_reduction_preserves_hull():
         assert got.shape == want.shape and np.allclose(got, want)
         # and the reduction itself is bounded by 2 points per scanline
         assert len(_row_extremes(pts)) <= 2 * len(np.unique(ys))
+
+
+def test_stream_chars_matches_process_document_on_neural_paths():
+    """Advisor r5 (medium): extract_text_stream_chars must see the SAME
+    normalized line regions as process_document — the stream contract is
+    'same text, token at a time'. Before the shared _detect_line_boxes
+    helper, the stream skipped the db/craft row-normalization and a
+    db slow-score fused two-stacked-line component streamed wrong text."""
+    from kiri_ocr_spark.imaging.glyphs import SCALE, render_page
+    from kiri_ocr_spark.ocr import OCR
+
+    lines = ["order sort", "table"]
+    page = render_page(lines, scale=SCALE)
+    for method in ("db", "craft"):
+        ocr = OCR(det_method=method)
+        text, results = ocr.extract_text(page)
+        chunks = list(ocr.extract_text_stream_chars(page))
+        assert text == "\n".join(lines)
+        assert chunks[0]["total_regions"] == len(results) == 2
+        finished = [c for c in chunks if c["document_finished"]]
+        assert finished and finished[-1]["cumulative_text"] == text

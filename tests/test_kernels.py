@@ -462,6 +462,51 @@ def test_trained_ocr_kernel_decodes_and_quarantines():
     assert (out["kernel_us"] >= 0).all()
 
 
+def test_trained_kernel_mid_page_quarantine_rolls_back_crops(monkeypatch):
+    """Advisor r5 (pipeline.py quarantine contract): a page that fails
+    AFTER some of its line crops were appended must roll those crops
+    back — otherwise the stacked decode assigns the partial text to the
+    quarantined row, overwriting its text=NULL dead-letter marker while
+    n_lines stays -1 (an inconsistent row the health query can't see)."""
+    import pandas as pd
+
+    from kiri_ocr_spark.imaging.glyphs import SCALE, render_page
+    from kiri_ocr_spark.imaging.png import encode_gray
+    from kiri_ocr_spark.operators import detect as detect_mod
+    from kiri_ocr_spark.pipeline import _ocr_batches_trained
+    from kiri_ocr_spark.queries import trained_model_path
+
+    two_line = encode_gray(render_page(["order sort", "table"], scale=SCALE))
+    one_line = encode_gray(render_page(["the fast key"], scale=SCALE))
+
+    real_pad = detect_mod.pad_training_margins
+    calls = {"n": 0}
+
+    def exploding_pad(region):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second line of the FIRST page: mid-page
+            raise ValueError("simulated degenerate crop")
+        return real_pad(region)
+
+    monkeypatch.setattr(detect_mod, "pad_training_margins", exploding_pad)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "offset": [0, 0],
+            "kind": ["media"] * 2,
+            "media_ref": ["a", "b"],
+            "png_bytes": [two_line, one_line],
+        }
+    )
+    (out,) = list(_ocr_batches_trained(trained_model_path())([pdf]))
+    rows = {r.media_ref: r for r in out.itertuples()}
+    # quarantined page: full dead-letter contract, no partial text
+    assert rows["a"].text is None
+    assert rows["a"].conf == 0.0 and rows["a"].n_lines == -1
+    # the following page is untouched by the rollback
+    assert rows["b"].text == "the fast key" and rows["b"].n_lines == 1
+
+
 def test_pad_training_margins_uses_crop_background():
     """Advisor r4: neural-path pad margins must carry the crop's OWN
     background luma (255 plain, 239 tinted-codec pages), not hardcoded
@@ -480,3 +525,11 @@ def test_pad_training_margins_uses_crop_background():
     out = pad_training_margins(tinted)
     assert out[0, 0] == 239  # background, not 255
     assert out[PAD_Y + 3, PAD_X + 5] == 27  # content preserved
+
+    # advisor r5: an ALL-INK crop (solid block glyph) has no background
+    # pixel — its max is ink luma; the pad must fall back to plain 255,
+    # not pad with ink
+    solid = np.full((10, 20), 27, dtype=np.uint8)
+    out = pad_training_margins(solid)
+    assert out[0, 0] == 255
+    assert out[PAD_Y, PAD_X] == 27
