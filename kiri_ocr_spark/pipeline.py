@@ -122,7 +122,7 @@ def _ocr_batches(broadcast):
     return fn
 
 
-def _ocr_batches_trained(model_path: str):
+def _ocr_batches_trained(model_path: str, det_method: str = "legacy"):
     """mapInPandas kernel, trained-recognizer variant (the reference's
     actual architecture — core.py:719-793 always decodes through the
     model): decode PNG -> detect lines -> batched numpy-transformer CTC
@@ -130,7 +130,17 @@ def _ocr_batches_trained(model_path: str):
     the trained artifact's contract (pad_training_margins + resize),
     identical to q_model_decode_trained. Encodes are batched ACROSS
     pages (one stacked forward per chunk of crops), not per line; the
-    model loads once per Python worker (M8 get_model cache)."""
+    model loads once per Python worker (M8 get_model cache).
+
+    ``det_method``: 'legacy' = the CC line finder (detect_lines);
+    'db' | 'craft' = the calibrated conv-forward detectors through the
+    TextDetector facade + the same row normalization process_document
+    applies (W3 row clustering + blank-row band split), followed by an
+    ink-bounds tighten per box (neural boxes carry unclip padding; the
+    training contract wants tight crops re-padded with
+    pad_training_margins) — the table-scope equivalent of the
+    reference's process_document(method='db'|'craft'),
+    detector/__init__.py:161-192 -> core.py:770-792."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -140,15 +150,51 @@ def _ocr_batches_trained(model_path: str):
 
         from .imaging.png import decode_gray
         from .operators.detect import (
+            binarize,
             detect_lines,
             invert_if_dark,
+            merge_boxes_into_rows,
             pad_training_margins,
             resize_keep_ratio_pad,
+            split_box_at_blank_rows,
         )
         from .operators.model import get_model
 
         _QUARANTINE = (ValueError, KeyError, IndexError, struct.error, zlib.error)
         model = get_model(path=model_path)
+        if det_method == "legacy":
+            boxes_of = None
+        else:
+            from .operators.facade import TextDetector
+
+            det_kwargs = (
+                {"det_db_score_mode": "slow"} if det_method == "db" else {}
+            )
+            detector = TextDetector(method=det_method, **det_kwargs)
+
+            def boxes_of(gray: np.ndarray) -> list[np.ndarray]:
+                ink = binarize(gray)
+                out = []
+                for row in merge_boxes_into_rows(detector.detect_boxes(gray)):
+                    for b in split_box_at_blank_rows(ink, row):
+                        # tighten to the ink bounds inside the (unclip-
+                        # padded) region, mirroring OCR._recognize_region
+                        x, y, w, h = (int(v) for v in b[:4])
+                        sub = ink[y : y + h, x : x + w]
+                        ys, xs = np.nonzero(sub)
+                        if len(ys) == 0:
+                            continue  # blank band: no line to decode
+                        out.append(
+                            np.array(
+                                [
+                                    x + int(xs.min()),
+                                    y + int(ys.min()),
+                                    int(xs.max()) - int(xs.min()) + 1,
+                                    int(ys.max()) - int(ys.min()) + 1,
+                                ]
+                            )
+                        )
+                return out
         for pdf in batches:
             n = len(pdf)
             texts: list = [None] * n
@@ -168,7 +214,9 @@ def _ocr_batches_trained(model_path: str):
                     if blob is None:
                         raise ValueError("missing media payload")
                     gray = invert_if_dark(decode_gray(bytes(blob)))
-                    boxes = detect_lines(gray)
+                    boxes = (
+                        detect_lines(gray) if boxes_of is None else boxes_of(gray)
+                    )
                     for b in boxes:
                         x, y, w, h = (int(v) for v in b[:4])
                         crops.append(
@@ -231,6 +279,7 @@ def extract_span_rows(
     broadcast_media: bool = False,
     keep_kernel_us: bool = False,
     recognizer: str = "trained",
+    detector: str = "legacy",
 ) -> DataFrame:
     """Span-level extraction: one row per span with recognized/normalized
     text, confidence and lineage columns. No assembly shuffle yet.
@@ -316,8 +365,13 @@ def extract_span_rows(
     if recognizer == "trained":
         from .queries import trained_model_path
 
-        kernel = _ocr_batches_trained(trained_model_path())
+        kernel = _ocr_batches_trained(trained_model_path(), det_method=detector)
     else:
+        if detector != "legacy":
+            raise ValueError(
+                "neural detectors require the trained recognizer "
+                f"(got recognizer={recognizer!r}, detector={detector!r})"
+            )
         from .imaging.glyphs import template_index
 
         bc = spark.sparkContext.broadcast(template_index())
