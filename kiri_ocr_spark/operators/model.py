@@ -57,6 +57,16 @@ class CFG:
     # match the 'fast' benchmark configuration (run_benchmark.py:51) and
     # because the per-prefix forward DP is the slow path
     CTC_FUSION_ALPHA: float = 0.0
+    # two-pass final rescoring (round 6): rank the FINISHED hypotheses —
+    # live beams plus the injected CTC-greedy candidate — by
+    # length-normalized (decoder_logp + GAMMA * full-sequence CTC-forward
+    # score). The in-search alpha shapes the frontier; gamma decides the
+    # winner. Swept on the stage-4 artifact's coverage held-out:
+    # gamma 0->0.052, 0.4->0.006, 1.0+->0.00093 CER vs CTC-greedy's
+    # 0.00186 — at gamma>=1 the beam strictly beats its own CTC anchor
+    # (it repairs a CTC miss and keeps the decoder's wins). 0 = off
+    # (seed-weight law paths unchanged); trained artifact meta ships 1.0.
+    CTC_RESCORE_GAMMA: float = 0.0
     EOS_BIAS: float = 0.0
     CTC_LEN_CAP_MULT: float = 1.3
     CTC_LEN_CAP_ADD: int = 10
@@ -415,7 +425,89 @@ class NumpyKiriModel:
         ctc_logp = None
         if cfg.CTC_FUSION_ALPHA > 0.0:
             ctc_logp = log_softmax(self.ctc_logits(mem))[0]
-        return beam, mem, max_len, ctc_logp
+        return beam, mem, max_len, ctc_logp, ctc_text
+
+    def _fused_sequence_score(
+        self, tokens: list[int], mem: np.ndarray, ctc_logp: np.ndarray
+    ) -> tuple[float, float]:
+        """(fused_score, decoder_only_logp) of a GIVEN decoder sequence
+        (dec ids, EOS included) under exactly the penalties and fusion
+        increments _beam_advance applies to live hypotheses — one
+        teacher-forced forward, then the same per-step bookkeeping, so
+        the result is apples-to-apples comparable with beam scores."""
+        cfg = self.cfg
+        bos, eos = self.tok.DEC_BOS, self.tok.DEC_EOS
+        unk_dec = self.tok.unk_id + 3
+        prefix = np.array([[bos] + tokens[:-1]], dtype=np.int64)
+        rows = log_softmax(self._decode_step(prefix, mem)[0])
+
+        def ctc_score(seq: list[int]) -> float:
+            target = np.array([d - 1 for d in seq[1:] if d >= 3])
+            s = ctc_forward_score(ctc_logp, target)
+            return s if np.isfinite(s) else -1e4
+
+        seq = [bos]
+        score = dlp = 0.0
+        for i, t in enumerate(tokens):
+            row = rows[i].copy()
+            row[unk_dec] += cfg.UNK_PENALTY
+            row[eos] += cfg.EOS_BIAS
+            if len(seq) >= 1:
+                row[seq[-1]] += cfg.REPEAT_PENALTY
+            if len(seq) >= 2:
+                for j in range(len(seq) - 1):
+                    if seq[j] == seq[-1]:
+                        row[seq[j + 1]] += cfg.REPEAT_PENALTY / 2.0
+            score += float(row[t])
+            dlp += float(row[t])
+            if ctc_logp is not None and t != eos:
+                score += cfg.CTC_FUSION_ALPHA * (
+                    ctc_score(seq + [t]) - ctc_score(seq)
+                )
+            seq.append(t)
+        return score, dlp
+
+    def _final_best(
+        self,
+        beams: list[tuple[list[int], float, float, bool]],
+        mem: np.ndarray,
+        ctc_logp: np.ndarray | None,
+        ctc_text: str,
+    ) -> tuple[list[int], float, float, bool]:
+        """Final-hypothesis selection with CTC-hypothesis injection: the
+        CTC-greedy text is scored as one more candidate under the SAME
+        fused metric and wins only if it length-norm-outscores every
+        live beam. Rationale: the autoregressive decoder is LM-dominated
+        on out-of-distribution text (it happily 'corrects' unseen words)
+        while the CTC head reads glyphs — injecting the CTC path as a
+        first-class hypothesis bounds beam search's OOD quality by the
+        CTC head's instead of letting a fluent-but-wrong beam win on LM
+        score alone. In-domain the two agree and the beam's own scores
+        dominate, so behavior is unchanged. Only active under CTC fusion
+        (ctc_logp present — trained artifacts; seed-weight decodes keep
+        the exact legacy behavior). The reference anchors the idea: its
+        beam is CTC-length-capped and fusion-rescored (model.py:390-600);
+        this takes the anchor to its fixed point."""
+        best = max(beams, key=self._norm_score)
+        if ctc_logp is None or not ctc_text:
+            return best
+        dec_ids = [int(v) for v in self.tok.raw_to_dec(self.tok.encode(ctc_text))]
+        seq = [self.tok.DEC_BOS] + dec_ids + [self.tok.DEC_EOS]
+        finalists = list(beams)
+        if seq != best[0] and len(seq) - 1 <= self.cfg.MAX_DEC_LEN:
+            score, dlp = self._fused_sequence_score(seq[1:], mem, ctc_logp)
+            finalists.append((seq, score, dlp, True))
+        gamma = self.cfg.CTC_RESCORE_GAMMA
+        if gamma <= 0.0:
+            return max(finalists, key=self._norm_score)
+
+        def rescore(item: tuple[list[int], float, float, bool]) -> float:
+            target = np.array([d - 1 for d in item[0][1:] if d >= 3])
+            cs = ctc_forward_score(ctc_logp, target)
+            cs = float(cs) if np.isfinite(cs) else -1e4
+            return self._norm_score((item[0], item[2] + gamma * cs, 0.0, True))
+
+        return max(finalists, key=rescore)
 
     def _beam_advance(
         self,
@@ -476,7 +568,7 @@ class NumpyKiriModel:
         score / ((5+L)^p / 6^p), n-gram repeat penalties, UNK penalty,
         early exit when all beams emit EOS (model.py:390-600). beam=1
         degenerates to greedy decode (M3)."""
-        beam, mem, max_len, ctc_logp = self._beam_setup(mem_row, beam)
+        beam, mem, max_len, ctc_logp, ctc_text = self._beam_setup(mem_row, beam)
         bos = self.tok.DEC_BOS
         beams: list[tuple[list[int], float, float, bool]] = [
             ([bos], 0.0, 0.0, False)
@@ -486,7 +578,7 @@ class NumpyKiriModel:
                 break  # early exit (model.py:444-445)
             beams = self._beam_advance(beams, mem, ctc_logp, beam)
 
-        best = max(beams, key=self._norm_score)
+        best = self._final_best(beams, mem, ctc_logp, ctc_text)
         seq = np.array(best[0][1:], dtype=np.int64)
         conf = float(np.clip(np.exp(best[2] / max(len(seq), 1)), 0.0, 1.0))
         return self.tok.decode_dec(seq), conf
@@ -502,7 +594,7 @@ class NumpyKiriModel:
         monotonically, '' with retracted=True when the new best is not an
         extension of the previous one — the event a downstream sink must
         REPLACE on, not append."""
-        beam, mem, max_len, ctc_logp = self._beam_setup(mem_row, beam)
+        beam, mem, max_len, ctc_logp, ctc_text = self._beam_setup(mem_row, beam)
         bos = self.tok.DEC_BOS
         beams: list[tuple[list[int], float, float, bool]] = [
             ([bos], 0.0, 0.0, False)
@@ -512,11 +604,15 @@ class NumpyKiriModel:
         while step < max_len and not all(done for *_, done in beams):
             beams = self._beam_advance(beams, mem, ctc_logp, beam)
             step += 1
-            best = max(beams, key=self._norm_score)
+            loop_done = all(done for *_, done in beams) or step >= max_len
+            best = (
+                self._final_best(beams, mem, ctc_logp, ctc_text)
+                if loop_done
+                else max(beams, key=self._norm_score)
+            )
             seq, _, dlp, _ = best
             text = self.tok.decode_dec(np.array(seq[1:], dtype=np.int64))
             grew = text.startswith(prev_text) and len(text) >= len(prev_text)
-            finished = all(done for *_, done in beams) or step >= max_len
             conf = float(
                 np.clip(np.exp(dlp / max(len(seq) - 1, 1)), 0.0, 1.0)
             )
@@ -526,7 +622,7 @@ class NumpyKiriModel:
                 "token": text[len(prev_text):] if grew else "",
                 "retracted": not grew,
                 "confidence": conf,
-                "finished": finished,
+                "finished": loop_done,
             }
             prev_text = text
 
@@ -541,8 +637,8 @@ _META_SUFFIX = "_meta.json"
 _CONFIG_FIELDS = (
     "IMG_H", "IMG_W", "D_MODEL", "N_HEADS", "N_ENC_LAYERS", "N_DEC_LAYERS",
     "FF_MULT", "MAX_DEC_LEN", "BEAM", "LEN_NORM_POW", "UNK_PENALTY",
-    "REPEAT_PENALTY", "CTC_FUSION_ALPHA", "EOS_BIAS", "CTC_LEN_CAP_MULT",
-    "CTC_LEN_CAP_ADD",
+    "REPEAT_PENALTY", "CTC_FUSION_ALPHA", "CTC_RESCORE_GAMMA", "EOS_BIAS",
+    "CTC_LEN_CAP_MULT", "CTC_LEN_CAP_ADD",
 )
 
 

@@ -871,6 +871,58 @@ def charset_coverage_crops(tok, n_train: int = 2000, n_heldout: int = 200,
     return train, heldout
 
 
+def charset_adjacency_lines(n_lines: int, seed: int) -> list[str]:
+    """Lines that EXHAUSTIVELY sample symbol/digit adjacency bigrams.
+
+    charset_coverage_lines covers glyph MARGINALS ~uniformly, but with
+    146x146 ordered bigrams and ~11 transitions/line each specific
+    bigram shows up only ~rarely — and the stage-4 artifact's residual
+    coverage misses were all under-sampled symbol adjacencies ('m^' at
+    line end, '@C'/'`@' inside clusters, 'i(' insertion). Here every
+    word is a chain of pairs drawn WITHOUT replacement from the deck of
+    all ordered pairs where at least one side is a non-alphabetic glyph
+    (symbols + digits), reshuffled when exhausted (~8.7k pairs), so n
+    lines of ~4 pairs visit every such bigram once per ~2.2k lines —
+    orders of magnitude denser than uniform sampling."""
+    from ..imaging.glyphs import CHARSET
+
+    rng = np.random.default_rng(seed)
+    symdig = [c for c in CHARSET if not c.isalpha()]
+    pair_deck: list[tuple[str, str]] = []
+    lines: list[str] = []
+    for _ in range(n_lines):
+        words = []
+        for _w in range(int(rng.integers(2, 4))):
+            chars: list[str] = []
+            for _p in range(int(rng.integers(1, 3))):
+                if not pair_deck:
+                    pair_deck = [(a, b) for a in CHARSET for b in symdig] + [
+                        (a, b) for a in symdig for b in CHARSET
+                    ]
+                    rng.shuffle(pair_deck)
+                a, b = pair_deck.pop()
+                chars += [a, b]
+            words.append("".join(chars))
+        lines.append(" ".join(words))
+    return lines
+
+
+def charset_adjacency_crops(tok, n_train: int = 4000, n_heldout: int = 200,
+                            seed: int = 83):
+    """(train, heldout) crops over the adjacency-bigram distribution,
+    rendered and preprocessed exactly like the other crop families
+    (every 5th line tinted); held-out lines from an independent seed."""
+    train = [
+        render_crop(line, tok, tinted=(i % 5 == 3))
+        for i, line in enumerate(charset_adjacency_lines(n_train, seed))
+    ]
+    heldout = [
+        render_crop(line, tok, tinted=(i % 5 == 3))
+        for i, line in enumerate(charset_adjacency_lines(n_heldout, seed + 1))
+    ]
+    return train, heldout
+
+
 def charset_pattern_lines(n_lines: int, seed: int) -> list[str]:
     """Lines from the model_decode_charset oracle's PATTERN FAMILY
     ('Id:<khmer-digits> #<d%100> <Upper><sym>') drawn from doc_ids with

@@ -16,7 +16,7 @@ Writes to a SEPARATE prefix by default so the shipped artifact is only
 replaced after the full oracle sweep validates the candidate.
 
 Usage: python scripts/charset_finetune.py [out_prefix] [epochs]
-       [in_prefix] [n_cov_train] [corpus_keep] [lr] [n_pattern]
+       [in_prefix] [n_cov_train] [corpus_keep] [lr] [n_pattern] [n_adj]
 Four documented stages reproduce the shipped artifact (the first
 teaches the glyph classes from the corpus-converged artifact, the
 second — coverage-heavy, corpus keep-alive subset — drives coverage
@@ -34,6 +34,12 @@ bigrams uniform coverage under-samples — 'E<sym>' CTC-doubling and
         models/trained_full 8000 0 1e-4
     python scripts/charset_finetune.py models/trained_full 3 \
         models/trained_full 4000 0 5e-5 3000
+The fifth stage (round 6) adds the symbol-adjacency bigram family
+(train.charset_adjacency_lines — every ordered bigram with a symbol or
+digit on either side, deck-exhaustive) to repair the stage-4 artifact's
+4/200 residual coverage misses, all under-sampled symbol adjacencies:
+    python scripts/charset_finetune.py models/trained_full_s5 3 \
+        models/trained_full 4000 2000 5e-5 2000 4000
 Deterministic: fixed artifact input, seeded coverage lines, seeded
 shuffle, no dropout.
 """
@@ -58,6 +64,7 @@ def main() -> int:
     corpus_keep = int(sys.argv[5]) if len(sys.argv) > 5 else 0  # 0 = all
     lr = float(sys.argv[6]) if len(sys.argv) > 6 else 2e-4
     n_pattern = int(sys.argv[7]) if len(sys.argv) > 7 else 0
+    n_adj = int(sys.argv[8]) if len(sys.argv) > 8 else 0
 
     from kiri_ocr_spark.operators import train as T
     from kiri_ocr_spark.operators.model import load_model, save_model
@@ -81,21 +88,29 @@ def main() -> int:
         T.charset_pattern_crops(model.tok, n_train=n_pattern)
         if n_pattern else ([], [])
     )
+    adj_train, adj_held = (
+        T.charset_adjacency_crops(model.tok, n_train=n_adj)
+        if n_adj else ([], [])
+    )
     print(
         f"crops: corpus {len(corpus_train)}/{len(corpus_held)} "
         f"coverage {len(cov_train)}/{len(cov_held)} "
-        f"pattern {len(pat_train)}/{len(pat_held)}"
+        f"pattern {len(pat_train)}/{len(pat_held)} "
+        f"adjacency {len(adj_train)}/{len(adj_held)}"
     )
 
     report = {
         "corpus_train": len(corpus_train), "corpus_heldout": len(corpus_held),
         "coverage_train": len(cov_train), "coverage_heldout": len(cov_held),
         "pattern_train": len(pat_train), "pattern_heldout": len(pat_held),
+        "adjacency_train": len(adj_train), "adjacency_heldout": len(adj_held),
         "epochs": epochs, "lr": lr, "in_prefix": in_prefix,
     }
     evals = [("corpus", corpus_held), ("coverage", cov_held)]
     if n_pattern:
         evals.append(("pattern", pat_held))
+    if n_adj:
+        evals.append(("adjacency", adj_held))
     for name, held in evals:
         report[f"pre_cer_ctc_{name}"] = round(
             T.evaluate_cer(model, held, method="ctc"), 5
@@ -105,10 +120,10 @@ def main() -> int:
     # converged artifact + gentle lr: no alignment warmup needed (the
     # blank-collapse saddle threatens random inits; here the encoder
     # already aligns frames, CTC just learns the new glyph classes)
-    hist = T.train(model, corpus_train + cov_train + pat_train,
+    hist = T.train(model, corpus_train + cov_train + pat_train + adj_train,
                    epochs=epochs, batch_size=16, lr=lr, train_stem=True,
                    align_epochs=0, lr_decay_at=(0.6,),
-                   val_samples=corpus_held + cov_held + pat_held,
+                   val_samples=corpus_held + cov_held + pat_held + adj_held,
                    val_every=2)
     report["loss_history"] = [[round(a, 5), round(b, 5)] for a, b in hist]
     for name, held in evals:
