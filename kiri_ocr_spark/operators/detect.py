@@ -73,7 +73,32 @@ def orient_and_binarize(gray: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     histogram and inversion flips the histogram instead of re-scanning
     the image (bincount(255 - g) == bincount(g)[::-1] exactly).
     Bit-identical to the unfused pair — asserted against it in
-    tests/test_kernels.py over fixture pages of both polarities."""
+    tests/test_kernels.py over fixture pages of both polarities.
+
+    BILEVEL fast path (round 6, binarize was 33% of the kernel profile):
+    a page whose pixels take exactly two values {lo, hi} — every plain
+    and every tinted-codec render, i.e. almost all real pages of this
+    engine's blocky raster — needs no histogram at all. Proof of bit-
+    equality with the Otsu path: with only bins lo < hi populated,
+    sigma_b(t) is 0 for t < lo (omega = 0), one constant positive value
+    for t in [lo, hi) and 0 for t >= hi (omega = 1), so np.argmax's
+    first-max rule returns exactly lo, and the mask is gray <= lo. The
+    mean test uses (lo*n_lo + hi*n_hi)/n — the same exact f64 value the
+    histogram dot product produces (all other terms are zero). Cost:
+    min/max + two equality counts (~13 us) instead of bincount + Otsu
+    (~70 us); non-bilevel pages fall through to the histogram path
+    unchanged. Equality on ALL paths is law-tested (test_kernels)."""
+    if gray.size:
+        lo = int(gray.min())
+        hi = int(gray.max())
+        if lo != hi:
+            n_lo = int(np.count_nonzero(gray == lo))
+            n_hi = int(np.count_nonzero(gray == hi))
+            if n_lo + n_hi == gray.size:
+                if (lo * n_lo + hi * n_hi) / gray.size < 127.0:
+                    gray = (255 - gray).astype(np.uint8)
+                    return gray, gray <= (255 - hi)
+                return gray, gray <= lo
     hist = np.bincount(gray.ravel(), minlength=256).astype(np.float64)
     total = hist.sum()
     if total == 0:

@@ -152,8 +152,8 @@ def _ocr_batches_trained(model_path: str, det_method: str = "legacy"):
         from .operators.detect import (
             binarize,
             detect_lines,
-            invert_if_dark,
             merge_boxes_into_rows,
+            orient_and_binarize,
             pad_training_margins,
             resize_keep_ratio_pad,
             split_box_at_blank_rows,
@@ -213,9 +213,14 @@ def _ocr_batches_trained(model_path: str, det_method: str = "legacy"):
                 try:
                     if blob is None:
                         raise ValueError("missing media payload")
-                    gray = invert_if_dark(decode_gray(bytes(blob)))
+                    # fused P2+F10 (one pass, bilevel fast path) — the
+                    # unfused invert_if_dark + detect_lines(gray) pair
+                    # paid a second full Otsu here
+                    gray, ink = orient_and_binarize(decode_gray(bytes(blob)))
                     boxes = (
-                        detect_lines(gray) if boxes_of is None else boxes_of(gray)
+                        detect_lines(gray, ink=ink)
+                        if boxes_of is None
+                        else boxes_of(gray)
                     )
                     for b in boxes:
                         x, y, w, h = (int(v) for v in b[:4])

@@ -225,11 +225,23 @@ def test_orient_and_binarize_bit_identical_to_unfused():
     noise, and degenerate flat images — it exists for speed only."""
     from kiri_ocr_spark.operators.detect import orient_and_binarize
 
+    from kiri_ocr_spark.fixtures import _tint_page
+    from kiri_ocr_spark.imaging.png import decode_gray, encode_rgb
+
     rng = np.random.default_rng(3)
+    grad = np.tile(np.arange(120, dtype=np.uint8) * 2, (40, 1))
+    three_level = np.full((20, 30), 255, dtype=np.uint8)
+    three_level[5:10, 5:20] = 0
+    three_level[12:15, 5:20] = 128
     pages = [
-        render_page(["fused hot path"], scale=SCALE),
+        render_page(["fused hot path"], scale=SCALE),  # bilevel fast path
         render_page(["inverted", "page"], scale=SCALE, invert=True),
+        # tinted-codec page: the OTHER bilevel family (bg 239)
+        decode_gray(encode_rgb(_tint_page(render_page(["tinted page"], scale=SCALE)))),
         (rng.random((40, 120)) * 255).astype(np.uint8),
+        grad,  # smooth non-bilevel: histogram path
+        three_level,  # almost-bilevel: must NOT take the fast path
+        255 - three_level,
         np.full((16, 16), 255, dtype=np.uint8),
         np.zeros((16, 16), dtype=np.uint8),
     ]
