@@ -30,6 +30,8 @@ HEADLINE_QUERIES = [
     # the trained transformer. The retired template construction keeps
     # its own timing here for round-over-round continuity.
     "extract_spans_template",
+    "extract_spans_db",
+    "text_hierarchy",
     "media_text_craft",
     "minhash_pairs",
     "minhash_verified",
