@@ -923,6 +923,54 @@ def charset_adjacency_crops(tok, n_train: int = 4000, n_heldout: int = 200,
     return train, heldout
 
 
+def charset_interior_lines(n_lines: int, seed: int) -> list[str]:
+    """Lines attacking the INTERIOR-deletion failure mode: the stage-5
+    residual misses were both deletions of a thin non-alpha glyph
+    sandwiched inside a 3-5 char mixed cluster ('`@' in ';ឝ`@>', '7' in
+    'ថ7>6'). Every word here is flank + (sym + flank)*k with k in {1,2}
+    — symbols/digits drawn deck-exhaustively into INTERIOR positions
+    with deck-drawn charset flanks, so each non-alpha glyph sees ~n/42
+    distinct interior contexts."""
+    from ..imaging.glyphs import CHARSET
+
+    rng = np.random.default_rng(seed)
+    symdig = [c for c in CHARSET if not c.isalpha()]
+    sym_deck: list[str] = []
+    any_deck: list[str] = []
+
+    def draw(deck: list[str], pool: list[str]) -> str:
+        if not deck:
+            deck.extend(pool)
+            rng.shuffle(deck)
+        return deck.pop()
+
+    lines: list[str] = []
+    for _ in range(n_lines):
+        words = []
+        for _w in range(int(rng.integers(2, 4))):
+            chars = [draw(any_deck, list(CHARSET))]
+            for _k in range(int(rng.integers(1, 3))):
+                chars.append(draw(sym_deck, symdig))
+                chars.append(draw(any_deck, list(CHARSET)))
+            words.append("".join(chars))
+        lines.append(" ".join(words))
+    return lines
+
+
+def charset_interior_crops(tok, n_train: int = 4000, n_heldout: int = 200,
+                           seed: int = 97):
+    """(train, heldout) crops over the interior-glyph distribution."""
+    train = [
+        render_crop(line, tok, tinted=(i % 5 == 3))
+        for i, line in enumerate(charset_interior_lines(n_train, seed))
+    ]
+    heldout = [
+        render_crop(line, tok, tinted=(i % 5 == 3))
+        for i, line in enumerate(charset_interior_lines(n_heldout, seed + 1))
+    ]
+    return train, heldout
+
+
 def charset_pattern_lines(n_lines: int, seed: int) -> list[str]:
     """Lines from the model_decode_charset oracle's PATTERN FAMILY
     ('Id:<khmer-digits> #<d%100> <Upper><sym>') drawn from doc_ids with

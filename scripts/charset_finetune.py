@@ -17,6 +17,7 @@ replaced after the full oracle sweep validates the candidate.
 
 Usage: python scripts/charset_finetune.py [out_prefix] [epochs]
        [in_prefix] [n_cov_train] [corpus_keep] [lr] [n_pattern] [n_adj]
+       [n_interior]
 Four documented stages reproduce the shipped artifact (the first
 teaches the glyph classes from the corpus-converged artifact, the
 second — coverage-heavy, corpus keep-alive subset — drives coverage
@@ -65,6 +66,7 @@ def main() -> int:
     lr = float(sys.argv[6]) if len(sys.argv) > 6 else 2e-4
     n_pattern = int(sys.argv[7]) if len(sys.argv) > 7 else 0
     n_adj = int(sys.argv[8]) if len(sys.argv) > 8 else 0
+    n_interior = int(sys.argv[9]) if len(sys.argv) > 9 else 0
 
     from kiri_ocr_spark.operators import train as T
     from kiri_ocr_spark.operators.model import load_model, save_model
@@ -92,11 +94,16 @@ def main() -> int:
         T.charset_adjacency_crops(model.tok, n_train=n_adj)
         if n_adj else ([], [])
     )
+    int_train, int_held = (
+        T.charset_interior_crops(model.tok, n_train=n_interior)
+        if n_interior else ([], [])
+    )
     print(
         f"crops: corpus {len(corpus_train)}/{len(corpus_held)} "
         f"coverage {len(cov_train)}/{len(cov_held)} "
         f"pattern {len(pat_train)}/{len(pat_held)} "
-        f"adjacency {len(adj_train)}/{len(adj_held)}"
+        f"adjacency {len(adj_train)}/{len(adj_held)} "
+        f"interior {len(int_train)}/{len(int_held)}"
     )
 
     report = {
@@ -104,6 +111,7 @@ def main() -> int:
         "coverage_train": len(cov_train), "coverage_heldout": len(cov_held),
         "pattern_train": len(pat_train), "pattern_heldout": len(pat_held),
         "adjacency_train": len(adj_train), "adjacency_heldout": len(adj_held),
+        "interior_train": len(int_train), "interior_heldout": len(int_held),
         "epochs": epochs, "lr": lr, "in_prefix": in_prefix,
     }
     evals = [("corpus", corpus_held), ("coverage", cov_held)]
@@ -111,6 +119,8 @@ def main() -> int:
         evals.append(("pattern", pat_held))
     if n_adj:
         evals.append(("adjacency", adj_held))
+    if n_interior:
+        evals.append(("interior", int_held))
     for name, held in evals:
         report[f"pre_cer_ctc_{name}"] = round(
             T.evaluate_cer(model, held, method="ctc"), 5
@@ -120,10 +130,12 @@ def main() -> int:
     # converged artifact + gentle lr: no alignment warmup needed (the
     # blank-collapse saddle threatens random inits; here the encoder
     # already aligns frames, CTC just learns the new glyph classes)
-    hist = T.train(model, corpus_train + cov_train + pat_train + adj_train,
+    hist = T.train(model,
+                   corpus_train + cov_train + pat_train + adj_train + int_train,
                    epochs=epochs, batch_size=16, lr=lr, train_stem=True,
                    align_epochs=0, lr_decay_at=(0.6,),
-                   val_samples=corpus_held + cov_held + pat_held + adj_held,
+                   val_samples=corpus_held + cov_held + pat_held + adj_held
+                   + int_held,
                    val_every=2)
     report["loss_history"] = [[round(a, 5), round(b, 5)] for a, b in hist]
     for name, held in evals:

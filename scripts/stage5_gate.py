@@ -108,8 +108,16 @@ def main() -> int:
     _, adj_held = T.charset_adjacency_crops(model.tok, n_train=0)
     cer_adj, miss_adj = _cer_and_misses(model, adj_held)
     result["adjacency_ctc"] = [round(cer_adj, 6), len(miss_adj)]
+    result["adjacency_misses"] = [(a, b) for a, b in miss_adj][:10]
     if miss_adj:
         result["failures"].append(f"adjacency held-out: {len(miss_adj)} misses")
+
+    _, int_held = T.charset_interior_crops(model.tok, n_train=0)
+    cer_int, miss_int = _cer_and_misses(model, int_held)
+    result["interior_ctc"] = [round(cer_int, 6), len(miss_int)]
+    result["interior_misses"] = [(a, b) for a, b in miss_int][:10]
+    if miss_int:
+        result["failures"].append(f"interior held-out: {len(miss_int)} misses")
 
     for d in (SF_DIRS[0], SF_DIRS[2]):
         lines = charset_oracle_lines(d)

@@ -305,3 +305,37 @@ def test_charset_pattern_lines_hold_out_oracle_ids():
         m = re.match("Id:([" + kh + "]+) #", line)
         d = int("".join(str(kh.index(c)) for c in m.group(1)))
         assert d % 17 != 0, line
+
+
+def test_charset_targeted_line_families_are_deterministic_and_in_charset():
+    """Round-6 targeted families: adjacency (every ordered bigram with a
+    non-alpha side, deck-exhaustive) and interior (non-alpha glyphs in
+    sandwiched positions). Deterministic per seed, charset-only, and
+    structurally what they claim."""
+    from kiri_ocr_spark.imaging.glyphs import CHARSET
+    from kiri_ocr_spark.operators.train import (
+        charset_adjacency_lines,
+        charset_interior_lines,
+    )
+
+    cs = set(CHARSET)
+    symdig = {c for c in CHARSET if not c.isalpha()}
+    a1 = charset_adjacency_lines(200, 83)
+    assert a1 == charset_adjacency_lines(200, 83)
+    assert a1 != charset_adjacency_lines(200, 84)
+    for ln in a1:
+        assert set(ln) - {" "} <= cs
+        for w in ln.split(" "):
+            # words are chains of pairs: even length, every pair touches
+            # a symbol/digit on at least one side
+            assert len(w) % 2 == 0
+            assert all(w[i] in symdig or w[i + 1] in symdig
+                       for i in range(0, len(w), 2))
+    i1 = charset_interior_lines(200, 97)
+    assert i1 == charset_interior_lines(200, 97)
+    for ln in i1:
+        assert set(ln) - {" "} <= cs
+        for w in ln.split(" "):
+            # flank + (sym + flank)*k: odd length, non-alpha interiors
+            assert len(w) % 2 == 1 and len(w) >= 3
+            assert all(w[i] in symdig for i in range(1, len(w), 2))
