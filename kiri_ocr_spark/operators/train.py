@@ -971,6 +971,62 @@ def charset_interior_crops(tok, n_train: int = 4000, n_heldout: int = 200,
     return train, heldout
 
 
+def charset_trigram_lines(n_lines: int, seed: int) -> list[str]:
+    """Lines attacking THIN-glyph cluster contexts behind a WIDE flank:
+    the stage-5b residual misses were both a thin glyph mis-segmented
+    inside a cluster whose leading glyph is wide — 'ណi(' gaining a
+    phantom '2' between the 'i' and the '(', 'រ5ឬ' dropping the '5'
+    between two Khmer flanks. Every word here is wide-flank + a 2-3
+    glyph tail in which exactly one position is deck-drawn from the
+    thin symbols+digits pool and the rest from the full charset deck
+    (tail order shuffled), so each thin glyph sees ~3*n/42 distinct
+    wide-flank cluster contexts per n lines — two orders denser than
+    uniform coverage sampling reaches."""
+    from ..imaging.glyphs import CHARSET
+
+    rng = np.random.default_rng(seed)
+    pools = {
+        "wide": [c for c in CHARSET if (not c.isascii()) or c.isupper()],
+        "sym": [c for c in CHARSET if not c.isalpha()],
+        "any": list(CHARSET),
+    }
+    decks: dict[str, list[str]] = {k: [] for k in pools}
+
+    def draw(kind: str) -> str:
+        if not decks[kind]:
+            decks[kind] = list(pools[kind])
+            rng.shuffle(decks[kind])
+        return decks[kind].pop()
+
+    lines: list[str] = []
+    for _ in range(n_lines):
+        words = []
+        for _w in range(int(rng.integers(2, 4))):
+            tail = ["sym", "any"] if rng.integers(2) else ["any", "sym"]
+            if rng.integers(2):
+                tail.append("any")
+            words.append(draw("wide") + "".join(draw(k) for k in tail))
+        lines.append(" ".join(words))
+    return lines
+
+
+def charset_trigram_crops(tok, n_train: int = 4000, n_heldout: int = 200,
+                          seed: int = 113):
+    """(train, heldout) crops over the wide-flank thin-glyph trigram
+    distribution, rendered under the same contract as the other crop
+    families (every 5th line tinted); held-out from an independent
+    seed."""
+    train = [
+        render_crop(line, tok, tinted=(i % 5 == 3))
+        for i, line in enumerate(charset_trigram_lines(n_train, seed))
+    ]
+    heldout = [
+        render_crop(line, tok, tinted=(i % 5 == 3))
+        for i, line in enumerate(charset_trigram_lines(n_heldout, seed + 1))
+    ]
+    return train, heldout
+
+
 def charset_pattern_lines(n_lines: int, seed: int) -> list[str]:
     """Lines from the model_decode_charset oracle's PATTERN FAMILY
     ('Id:<khmer-digits> #<d%100> <Upper><sym>') drawn from doc_ids with

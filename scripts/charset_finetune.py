@@ -41,6 +41,15 @@ digit on either side, deck-exhaustive) to repair the stage-4 artifact's
 4/200 residual coverage misses, all under-sampled symbol adjacencies:
     python scripts/charset_finetune.py models/trained_full_s5 3 \
         models/trained_full 4000 2000 5e-5 2000 4000
+The sixth stage (5b) continues from the stage-5 candidate with the
+interior-deletion family added; the seventh (5c) continues from 5b
+with the wide-flank trigram family (train.charset_trigram_lines — the
+5b residuals were both thin glyphs mis-segmented behind a wide Khmer
+flank) at a gentler lr:
+    python scripts/charset_finetune.py models/trained_full_s5b 2 \
+        models/trained_full_s5 3000 2000 3e-5 1000 4000 4000
+    python scripts/charset_finetune.py models/trained_full_s5c 2 \
+        models/trained_full_s5b 3000 2000 2e-5 1000 2000 4000 4000
 Deterministic: fixed artifact input, seeded coverage lines, seeded
 shuffle, no dropout.
 """
@@ -67,6 +76,7 @@ def main() -> int:
     n_pattern = int(sys.argv[7]) if len(sys.argv) > 7 else 0
     n_adj = int(sys.argv[8]) if len(sys.argv) > 8 else 0
     n_interior = int(sys.argv[9]) if len(sys.argv) > 9 else 0
+    n_trigram = int(sys.argv[10]) if len(sys.argv) > 10 else 0
 
     from kiri_ocr_spark.operators import train as T
     from kiri_ocr_spark.operators.model import load_model, save_model
@@ -98,12 +108,17 @@ def main() -> int:
         T.charset_interior_crops(model.tok, n_train=n_interior)
         if n_interior else ([], [])
     )
+    tri_train, tri_held = (
+        T.charset_trigram_crops(model.tok, n_train=n_trigram)
+        if n_trigram else ([], [])
+    )
     print(
         f"crops: corpus {len(corpus_train)}/{len(corpus_held)} "
         f"coverage {len(cov_train)}/{len(cov_held)} "
         f"pattern {len(pat_train)}/{len(pat_held)} "
         f"adjacency {len(adj_train)}/{len(adj_held)} "
-        f"interior {len(int_train)}/{len(int_held)}"
+        f"interior {len(int_train)}/{len(int_held)} "
+        f"trigram {len(tri_train)}/{len(tri_held)}"
     )
 
     report = {
@@ -112,6 +127,7 @@ def main() -> int:
         "pattern_train": len(pat_train), "pattern_heldout": len(pat_held),
         "adjacency_train": len(adj_train), "adjacency_heldout": len(adj_held),
         "interior_train": len(int_train), "interior_heldout": len(int_held),
+        "trigram_train": len(tri_train), "trigram_heldout": len(tri_held),
         "epochs": epochs, "lr": lr, "in_prefix": in_prefix,
     }
     evals = [("corpus", corpus_held), ("coverage", cov_held)]
@@ -121,6 +137,8 @@ def main() -> int:
         evals.append(("adjacency", adj_held))
     if n_interior:
         evals.append(("interior", int_held))
+    if n_trigram:
+        evals.append(("trigram", tri_held))
     for name, held in evals:
         report[f"pre_cer_ctc_{name}"] = round(
             T.evaluate_cer(model, held, method="ctc"), 5
@@ -131,11 +149,12 @@ def main() -> int:
     # blank-collapse saddle threatens random inits; here the encoder
     # already aligns frames, CTC just learns the new glyph classes)
     hist = T.train(model,
-                   corpus_train + cov_train + pat_train + adj_train + int_train,
+                   corpus_train + cov_train + pat_train + adj_train
+                   + int_train + tri_train,
                    epochs=epochs, batch_size=16, lr=lr, train_stem=True,
                    align_epochs=0, lr_decay_at=(0.6,),
                    val_samples=corpus_held + cov_held + pat_held + adj_held
-                   + int_held,
+                   + int_held + tri_held,
                    val_every=2)
     report["loss_history"] = [[round(a, 5), round(b, 5)] for a, b in hist]
     for name, held in evals:

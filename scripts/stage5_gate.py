@@ -119,6 +119,13 @@ def main() -> int:
     if miss_int:
         result["failures"].append(f"interior held-out: {len(miss_int)} misses")
 
+    _, tri_held = T.charset_trigram_crops(model.tok, n_train=0)
+    cer_tri, miss_tri = _cer_and_misses(model, tri_held)
+    result["trigram_ctc"] = [round(cer_tri, 6), len(miss_tri)]
+    result["trigram_misses"] = [(a, b) for a, b in miss_tri][:10]
+    if miss_tri:
+        result["failures"].append(f"trigram held-out: {len(miss_tri)} misses")
+
     for d in (SF_DIRS[0], SF_DIRS[2]):
         lines = charset_oracle_lines(d)
         samples = [T.render_crop(l, model.tok) for l in lines]
