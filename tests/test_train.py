@@ -339,3 +339,33 @@ def test_charset_targeted_line_families_are_deterministic_and_in_charset():
             # flank + (sym + flank)*k: odd length, non-alpha interiors
             assert len(w) % 2 == 1 and len(w) >= 3
             assert all(w[i] in symdig for i in range(1, len(w), 2))
+
+
+def test_charset_trigram_lines_structure_and_determinism():
+    """Stage-5c family: wide flank (Khmer block or uppercase) + a 2-3
+    glyph tail containing exactly one symbol/digit position — the
+    stage-5b residual-miss shape. Deterministic per seed, charset-only,
+    and the thin-glyph deck actually cycles (every symbol/digit appears
+    within a deck period)."""
+    from kiri_ocr_spark.imaging.glyphs import CHARSET
+    from kiri_ocr_spark.operators.train import charset_trigram_lines
+
+    cs = set(CHARSET)
+    symdig = {c for c in CHARSET if not c.isalpha()}
+    wide = {c for c in CHARSET if (not c.isascii()) or c.isupper()}
+    t1 = charset_trigram_lines(200, 113)
+    assert t1 == charset_trigram_lines(200, 113)
+    assert t1 != charset_trigram_lines(200, 114)
+    seen_sym = set()
+    for ln in t1:
+        assert set(ln) - {" "} <= cs
+        for w in ln.split(" "):
+            assert 3 <= len(w) <= 4
+            assert w[0] in wide
+            tail_sym = [c for c in w[1:] if c in symdig]
+            # exactly one deck-drawn thin position; 'any' draws may add
+            # more non-alpha glyphs by chance, never zero
+            assert len(tail_sym) >= 1
+            seen_sym.update(tail_sym)
+    # 200 lines x ~2.5 words exhaust the 42-glyph thin deck many times
+    assert seen_sym >= symdig
