@@ -117,13 +117,16 @@ def component_stats(labels: np.ndarray) -> np.ndarray:
     order = np.argsort(labs, kind="stable")
     labs, ys, xs = labs[order], ys[order], xs[order]
     bounds = np.searchsorted(labs, np.arange(1, n + 2))
-    out = np.zeros((n, 5), dtype=np.int64)
-    for i in range(n):
-        lo, hi = bounds[i], bounds[i + 1]
-        x0, x1 = xs[lo:hi].min(), xs[lo:hi].max()
-        y0, y1 = ys[lo:hi].min(), ys[lo:hi].max()
-        out[i] = (x0, y0, x1 - x0 + 1, y1 - y0 + 1, hi - lo)
-    return out
+    # labels are contiguous 1..n with >=1 pixel each, so every segment
+    # [bounds[i], bounds[i+1]) is non-empty and reduceat is safe
+    starts = bounds[:-1]
+    x0 = np.minimum.reduceat(xs, starts)
+    x1 = np.maximum.reduceat(xs, starts)
+    y0 = np.minimum.reduceat(ys, starts)
+    y1 = np.maximum.reduceat(ys, starts)
+    return np.column_stack(
+        [x0, y0, x1 - x0 + 1, y1 - y0 + 1, np.diff(bounds)]
+    ).astype(np.int64)
 
 
 def iou(a: np.ndarray, b: np.ndarray) -> float:
@@ -146,10 +149,26 @@ def nms(boxes: np.ndarray, iou_threshold: float = 0.5) -> np.ndarray:
     if len(boxes) == 0:
         return boxes
     order = np.argsort(-boxes[:, 4], kind="stable")
+    # same greedy as the scalar loop, with the inner IoU-vs-kept check
+    # batched in numpy (this NMS sits under the per-level MSER sweep, so
+    # the scalar version's O(n^2) Python iou() calls dominated detect_all)
+    x1 = boxes[:, 0]
+    y1 = boxes[:, 1]
+    x2 = boxes[:, 0] + boxes[:, 2]
+    y2 = boxes[:, 1] + boxes[:, 3]
+    areas = boxes[:, 2] * boxes[:, 3]
     kept: list[int] = []
     for idx in order:
-        if all(iou(boxes[idx, :4], boxes[k, :4]) <= iou_threshold for k in kept):
-            kept.append(int(idx))
+        if kept:
+            k = np.array(kept, dtype=np.int64)
+            ix = np.minimum(x2[idx], x2[k]) - np.maximum(x1[idx], x1[k])
+            iy = np.minimum(y2[idx], y2[k]) - np.maximum(y1[idx], y1[k])
+            inter = np.maximum(ix, 0.0) * np.maximum(iy, 0.0)
+            union_area = areas[idx] + areas[k] - inter
+            ious = np.where(union_area > 0, inter / np.maximum(union_area, 1e-300), 0.0)
+            if (ious > iou_threshold).any():
+                continue
+        kept.append(int(idx))
     return boxes[np.array(sorted(kept), dtype=np.int64)]
 
 

@@ -52,40 +52,75 @@ def _solidity_filter(mask: np.ndarray, stats: np.ndarray) -> np.ndarray:
     return np.array(keep, dtype=bool)
 
 
+def _first_match_streaks(stats: np.ndarray, prev: np.ndarray, streak: np.ndarray) -> np.ndarray:
+    """Per cur row, the streak of the FIRST prev row (prev order) with
+    IoU>0.8, else 0 — the vectorized form of the scalar first-match scan."""
+    if len(stats) == 0 or len(prev) == 0:
+        return np.zeros(len(stats), dtype=np.int64)
+    cx1, cy1 = stats[:, 0:1], stats[:, 1:2]
+    cx2, cy2 = cx1 + stats[:, 2:3], cy1 + stats[:, 3:4]
+    px1, py1 = prev[:, 0], prev[:, 1]
+    px2, py2 = px1 + prev[:, 2], py1 + prev[:, 3]
+    ix = np.maximum(0.0, np.minimum(cx2, px2) - np.maximum(cx1, px1))
+    iy = np.maximum(0.0, np.minimum(cy2, py2) - np.maximum(cy1, py1))
+    inter = ix * iy
+    union = stats[:, 2:3] * stats[:, 3:4] + prev[:, 2] * prev[:, 3] - inter
+    hit = np.where(union > 0, inter / np.maximum(union, 1e-300), 0.0) > 0.8
+    first = hit.argmax(axis=1)
+    return np.where(hit.any(axis=1), streak[first], 0)
+
+
 def mser_regions(gray: np.ndarray) -> np.ndarray:
     """F14: maximally-stable-extremal-region finder via a delta-stepped
     threshold sweep over BOTH polarities: a bbox that persists (IoU>0.8)
-    across >=3 consecutive thresholds is stable. Returns (n,5) candidates."""
-    from .components import iou
+    across >=3 consecutive thresholds is stable. Returns (n,5) candidates.
 
+    Two exact-result fast paths (the scalar sweep dominated detect_all on
+    hierarchy pages): (a) a level whose threshold crosses no pixel value
+    produces the SAME mask as the previous level, so its stats are the
+    previous level's stats and every row self-matches (IoU 1) — skip the
+    CC pass and just increment the streaks; (b) the first-match streak
+    scan is one vectorized IoU matrix per level."""
     cands: list[np.ndarray] = []
     for polarity in (gray, 255 - gray):
-        prev: list[np.ndarray] = []
-        streak: list[int] = []
+        hist = np.bincount(polarity.reshape(-1), minlength=256)
+        csum = np.cumsum(hist)  # csum[t] = #pixels <= t
+        prev = np.zeros((0, 5))
+        streak = np.zeros(0, dtype=np.int64)
+        prev_t = None
         for t in range(30, 226, MSER_DELTA):
-            mask = polarity <= t
-            stats = _stats_with_conf(mask, 0.6)
-            ok = (
-                (stats[:, 2] * stats[:, 3] >= MSER_MIN_AREA)
-                & (stats[:, 2] * stats[:, 3] <= MSER_MAX_AREA)
-            )
-            stats = stats[ok]
-            if len(stats):
-                stats = stats[_solidity_filter(mask, stats)]
-            cur_streak = []
-            for row in stats:
-                matched = 0
-                for p, s in zip(prev, streak):
-                    if iou(row[:4], p[:4]) > 0.8:
-                        matched = s
-                        break
-                cur_streak.append(matched + 1)
-                if matched + 1 >= 3:
-                    cands.append(row)
-            prev, streak = list(stats), cur_streak
+            if prev_t is not None and csum[t] == csum[prev_t]:
+                # identical mask -> identical stats: skip the CC/solidity
+                # recompute but keep the SAME first-match scan (a row's
+                # first >0.8 match may be an earlier overlapping row, not
+                # itself)
+                stats = prev
+                cur_streak = _first_match_streaks(stats, prev, streak) + 1
+            else:
+                mask = polarity <= t
+                stats = _stats_with_conf(mask, 0.6)
+                ok = (
+                    (stats[:, 2] * stats[:, 3] >= MSER_MIN_AREA)
+                    & (stats[:, 2] * stats[:, 3] <= MSER_MAX_AREA)
+                )
+                stats = stats[ok]
+                if len(stats):
+                    stats = stats[_solidity_filter(mask, stats)]
+                cur_streak = _first_match_streaks(stats, prev, streak) + 1
+            stable = cur_streak >= 3
+            if stable.any():
+                cands.extend(stats[stable])
+            prev, streak, prev_t = stats, cur_streak, t
     if not cands:
         return np.zeros((0, 5))
-    return nms(np.array(cands), iou_threshold=0.5)
+    arr = np.array(cands)
+    # a stable box re-appends at every surviving level, so the list is
+    # mostly exact-duplicate rows; dropping later duplicates (keeping the
+    # first) cannot change greedy NMS output — the first copy either
+    # suppresses the rest (IoU 1) or all copies were already suppressed
+    _, first_idx = np.unique(arr, axis=0, return_index=True)
+    arr = arr[np.sort(first_idx)]
+    return nms(arr, iou_threshold=0.5)
 
 
 def _sobel_magnitude(gray: np.ndarray) -> np.ndarray:
