@@ -1010,6 +1010,60 @@ def charset_trigram_lines(n_lines: int, seed: int) -> list[str]:
     return lines
 
 
+def charset_thinpair_lines(n_lines: int, seed: int) -> list[str]:
+    """Exhaustive ascii-PAIR adjacency enumeration behind wide flanks.
+
+    The stage-5c residual miss ('ណi(' gaining a phantom '2') is a pair
+    adjacency the deck-random trigram family never samples: 'i(' needs
+    one specific 'any' draw AND one specific 'sym' draw in the same
+    tail (P ~ 1/6k per word — 0 occurrences in 4000 trigram lines).
+    Here every ORDERED pair (a, b) over the 68-glyph ascii
+    lowercase/digit/punct pool (4,624 pairs) appears once per cyclic
+    pass as a word FLANK+a+b, flank deck-drawn from the 78-glyph wide
+    pool (Khmer + uppercase), pair order reshuffled per pass — so each
+    full pass guarantees 'i(' (and every other pair) behind some wide
+    flank, and successive passes vary the flank."""
+    from ..imaging.glyphs import CHARSET
+
+    rng = np.random.default_rng(seed)
+    ascii_pool = [c for c in CHARSET if c.isascii() and not c.isupper()]
+    wide_pool = [c for c in CHARSET if (not c.isascii()) or c.isupper()]
+    pairs = [(a, b) for a in ascii_pool for b in ascii_pool]
+    pair_deck: list[tuple[str, str]] = []
+    flank_deck: list[str] = []
+    lines: list[str] = []
+    for _ in range(n_lines):
+        words = []
+        for _w in range(3):
+            if not pair_deck:
+                pair_deck = list(pairs)
+                rng.shuffle(pair_deck)
+            if not flank_deck:
+                flank_deck = list(wide_pool)
+                rng.shuffle(flank_deck)
+            a, b = pair_deck.pop()
+            words.append(flank_deck.pop() + a + b)
+        lines.append(" ".join(words))
+    return lines
+
+
+def charset_thinpair_crops(tok, n_train: int = 3200, n_heldout: int = 200,
+                           seed: int = 127):
+    """(train, heldout) crops over the exhaustive ascii-pair family,
+    rendered under the same contract as the other crop families (every
+    5th line tinted); held-out from an independent seed (different pair
+    order and flank assignment over the same enumerated pair space)."""
+    train = [
+        render_crop(line, tok, tinted=(i % 5 == 3))
+        for i, line in enumerate(charset_thinpair_lines(n_train, seed))
+    ]
+    heldout = [
+        render_crop(line, tok, tinted=(i % 5 == 3))
+        for i, line in enumerate(charset_thinpair_lines(n_heldout, seed + 1))
+    ]
+    return train, heldout
+
+
 def charset_trigram_crops(tok, n_train: int = 4000, n_heldout: int = 200,
                           seed: int = 113):
     """(train, heldout) crops over the wide-flank thin-glyph trigram

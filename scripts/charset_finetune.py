@@ -77,6 +77,7 @@ def main() -> int:
     n_adj = int(sys.argv[8]) if len(sys.argv) > 8 else 0
     n_interior = int(sys.argv[9]) if len(sys.argv) > 9 else 0
     n_trigram = int(sys.argv[10]) if len(sys.argv) > 10 else 0
+    n_thinpair = int(sys.argv[11]) if len(sys.argv) > 11 else 0
 
     from kiri_ocr_spark.operators import train as T
     from kiri_ocr_spark.operators.model import load_model, save_model
@@ -112,13 +113,18 @@ def main() -> int:
         T.charset_trigram_crops(model.tok, n_train=n_trigram)
         if n_trigram else ([], [])
     )
+    thp_train, thp_held = (
+        T.charset_thinpair_crops(model.tok, n_train=n_thinpair)
+        if n_thinpair else ([], [])
+    )
     print(
         f"crops: corpus {len(corpus_train)}/{len(corpus_held)} "
         f"coverage {len(cov_train)}/{len(cov_held)} "
         f"pattern {len(pat_train)}/{len(pat_held)} "
         f"adjacency {len(adj_train)}/{len(adj_held)} "
         f"interior {len(int_train)}/{len(int_held)} "
-        f"trigram {len(tri_train)}/{len(tri_held)}"
+        f"trigram {len(tri_train)}/{len(tri_held)} "
+        f"thinpair {len(thp_train)}/{len(thp_held)}"
     )
 
     report = {
@@ -128,6 +134,7 @@ def main() -> int:
         "adjacency_train": len(adj_train), "adjacency_heldout": len(adj_held),
         "interior_train": len(int_train), "interior_heldout": len(int_held),
         "trigram_train": len(tri_train), "trigram_heldout": len(tri_held),
+        "thinpair_train": len(thp_train), "thinpair_heldout": len(thp_held),
         "epochs": epochs, "lr": lr, "in_prefix": in_prefix,
     }
     evals = [("corpus", corpus_held), ("coverage", cov_held)]
@@ -139,6 +146,8 @@ def main() -> int:
         evals.append(("interior", int_held))
     if n_trigram:
         evals.append(("trigram", tri_held))
+    if n_thinpair:
+        evals.append(("thinpair", thp_held))
     for name, held in evals:
         report[f"pre_cer_ctc_{name}"] = round(
             T.evaluate_cer(model, held, method="ctc"), 5
@@ -150,11 +159,11 @@ def main() -> int:
     # already aligns frames, CTC just learns the new glyph classes)
     hist = T.train(model,
                    corpus_train + cov_train + pat_train + adj_train
-                   + int_train + tri_train,
+                   + int_train + tri_train + thp_train,
                    epochs=epochs, batch_size=16, lr=lr, train_stem=True,
                    align_epochs=0, lr_decay_at=(0.6,),
                    val_samples=corpus_held + cov_held + pat_held + adj_held
-                   + int_held + tri_held,
+                   + int_held + tri_held + thp_held,
                    val_every=2)
     report["loss_history"] = [[round(a, 5), round(b, 5)] for a, b in hist]
     for name, held in evals:

@@ -9,7 +9,7 @@ training process may predate it):
      the round-5 artifact's 4/200 residual misses are the target
   3. pattern held-out CTC zero-miss + charset-oracle ids (%17==0)
      glyph-exact at sf0.001 and sf0.1
-  4. adjacency held-out CTC zero-miss
+  4. adjacency/interior/trigram/thinpair held-out CTC zero-miss
   5. beam (CTC-fusion alpha 0.4 + rescore gamma 1.0): coverage CER <=
      CTC coverage CER, corpus/pattern beam CER == 0
 
@@ -125,6 +125,13 @@ def main() -> int:
     result["trigram_misses"] = [(a, b) for a, b in miss_tri][:10]
     if miss_tri:
         result["failures"].append(f"trigram held-out: {len(miss_tri)} misses")
+
+    _, thp_held = T.charset_thinpair_crops(model.tok, n_train=0)
+    cer_thp, miss_thp = _cer_and_misses(model, thp_held)
+    result["thinpair_ctc"] = [round(cer_thp, 6), len(miss_thp)]
+    result["thinpair_misses"] = [(a, b) for a, b in miss_thp][:10]
+    if miss_thp:
+        result["failures"].append(f"thinpair held-out: {len(miss_thp)} misses")
 
     for d in (SF_DIRS[0], SF_DIRS[2]):
         lines = charset_oracle_lines(d)

@@ -369,3 +369,35 @@ def test_charset_trigram_lines_structure_and_determinism():
             seen_sym.update(tail_sym)
     # 200 lines x ~2.5 words exhaust the 42-glyph thin deck many times
     assert seen_sym >= symdig
+
+
+def test_charset_thinpair_lines_enumerate_all_pairs():
+    """Stage-5d family: every word is FLANK+a+b with the (a, b) pair
+    deck cycling through ALL 4,624 ordered ascii lowercase/digit/punct
+    pairs — one full pass guarantees every pair (the deck-random trigram
+    family left 'i(' unsampled in 4000 lines, which is exactly where the
+    stage-5c residual miss lived). Deterministic per seed, charset-only,
+    independent-seed held-out disjoint from train."""
+    from kiri_ocr_spark.imaging.glyphs import CHARSET
+    from kiri_ocr_spark.operators.train import charset_thinpair_lines
+
+    ascii_pool = {c for c in CHARSET if c.isascii() and not c.isupper()}
+    wide = {c for c in CHARSET if (not c.isascii()) or c.isupper()}
+    n_pairs = len(ascii_pool) ** 2
+    # one full deck pass = ceil(4624 / 3 words-per-line) lines
+    need = -(-n_pairs // 3)
+    t1 = charset_thinpair_lines(need, 127)
+    assert t1 == charset_thinpair_lines(need, 127)
+    assert t1 != charset_thinpair_lines(need, 128)
+    seen = set()
+    for ln in t1:
+        assert set(ln) - {" "} <= set(CHARSET)
+        for w in ln.split(" "):
+            assert len(w) == 3
+            assert w[0] in wide
+            assert w[1] in ascii_pool and w[2] in ascii_pool
+            seen.add((w[1], w[2]))
+    assert len(seen) == n_pairs  # exhaustive in one pass
+    assert ("i", "(") in seen
+    held = charset_thinpair_lines(200, 128)
+    assert not set(t1) & set(held)
