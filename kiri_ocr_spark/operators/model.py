@@ -30,6 +30,7 @@ Reference map:
 
 from __future__ import annotations
 
+import hashlib
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -835,3 +836,46 @@ def get_model(cfg: CFG | None = None, path: str | None = None) -> NumpyKiriModel
     if cfg.SEED not in _MODEL_SINGLETON:
         _MODEL_SINGLETON[cfg.SEED] = NumpyKiriModel(cfg)
     return _MODEL_SINGLETON[cfg.SEED]
+
+
+def decode_crops_memo(
+    model: NumpyKiriModel,
+    crops: list[np.ndarray],
+    memo: dict,
+    fp32: bool = True,
+) -> list[tuple[str, float]]:
+    """CTC-greedy decode of line crops through a content-addressed memo.
+
+    Real corpora repeat lines (the same pattern the template path's
+    recognize._LINE_MEMO exploits; reference core.py:220-231 caches at
+    model granularity, this caches at line granularity): identical crop
+    bytes decode identically, so only first occurrences pay the
+    transformer forward — misses are packed into ENCODE_CHUNK stacked
+    fp32 encodes exactly like the unmemoized loops this replaces.
+
+    ``memo`` is caller-owned and should be scoped to ONE mapInPandas
+    partition (created inside the kernel closure): per-partition scope
+    keeps the work per partition independent of how many executors run —
+    a worker-lifetime memo would make low-parallelism runs cheaper per
+    partition and quietly distort the two-level scaling gate. Bounded:
+    cleared at 65536 entries (same policy as recognize._LINE_MEMO).
+    """
+    out: list = [None] * len(crops)
+    keys = [
+        hashlib.blake2b(c.tobytes(), digest_size=16).digest() for c in crops
+    ]
+    first_of: dict = {}
+    for i, k in enumerate(keys):
+        if k not in memo and k not in first_of:
+            first_of[k] = i
+    miss = list(first_of.values())
+    for j in range(0, len(miss), ENCODE_CHUNK):
+        idxs = miss[j : j + ENCODE_CHUNK]
+        chunk = np.stack([crops[i] for i in idxs]).astype(np.float32)
+        if len(memo) >= 65536:
+            memo.clear()
+        for i, d in zip(idxs, model.ctc_greedy(model.encode(chunk, fp32=fp32))):
+            memo[keys[i]] = d
+    for i, k in enumerate(keys):
+        out[i] = memo[k]
+    return out

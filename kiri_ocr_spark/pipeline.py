@@ -195,6 +195,7 @@ def _ocr_batches_trained(model_path: str, det_method: str = "legacy"):
                             )
                         )
                 return out
+        memo: dict = {}  # per-partition content-addressed decode memo
         for pdf in batches:
             n = len(pdf)
             texts: list = [None] * n
@@ -243,13 +244,10 @@ def _ocr_batches_trained(model_path: str, det_method: str = "legacy"):
             # cache-bound optimum — see its definition in operators/model).
             # fp32: the reference's inference dtype (torch/ONNX float32),
             # ~2x on the GEMM-bound stem; oracle stays per-line text-exact
-            from .operators.model import ENCODE_CHUNK
+            from .operators.model import decode_crops_memo
 
-            decoded: list[tuple[str, float]] = []
             t0 = time.monotonic()
-            for i in range(0, len(crops), ENCODE_CHUNK):
-                chunk = np.stack(crops[i : i + ENCODE_CHUNK]).astype(np.float32)
-                decoded.extend(model.ctc_greedy(model.encode(chunk, fp32=True)))
+            decoded = decode_crops_memo(model, crops, memo)
             if crops:  # spread encode cost over owning rows' kernel time
                 per = int((time.monotonic() - t0) * 1_000_000 / len(crops))
                 by_row: dict[int, list[tuple[str, float]]] = {}

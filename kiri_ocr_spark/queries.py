@@ -2836,6 +2836,7 @@ def q_model_decode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .operators.model import get_model
 
         model = get_model(path=path)
+        memo: dict = {}  # per-partition decode memo (corpus lines repeat)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -2850,16 +2851,9 @@ def q_model_decode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
                     crops.append(resize_keep_ratio_pad(crop))
             if not crops:
                 continue
-            from .operators.model import ENCODE_CHUNK
+            from .operators.model import decode_crops_memo
 
-            texts = []
-            for i in range(0, len(crops), ENCODE_CHUNK):
-                chunk = np.stack(crops[i : i + ENCODE_CHUNK]).astype(
-                    np.float32
-                )
-                texts.extend(
-                    t for t, _ in model.ctc_greedy(model.encode(chunk, fp32=True))
-                )
+            texts = [t for t, _ in decode_crops_memo(model, crops, memo)]
             yield pd.DataFrame(
                 {"media_ref": refs, "line_no": line_nos, "text": texts}
             )
@@ -3056,10 +3050,11 @@ def q_text_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             resize_keep_ratio_pad,
         )
         from .operators.facade import TextDetector
-        from .operators.model import ENCODE_CHUNK, get_model
+        from .operators.model import get_model
 
         model = get_model(path=path)
         det = TextDetector(method="legacy")
+        memo: dict = {}  # per-partition decode memo: 8 words repeat ~99%
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -3094,12 +3089,9 @@ def q_text_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
                             crops.append(
                                 resize_keep_ratio_pad(pad_training_margins(crop))
                             )
-            texts: list[str] = []
-            for i in range(0, len(crops), ENCODE_CHUNK):
-                chunk = np.stack(crops[i : i + ENCODE_CHUNK]).astype(np.float32)
-                texts.extend(
-                    t for t, _ in model.ctc_greedy(model.encode(chunk, fp32=True))
-                )
+            from .operators.model import decode_crops_memo
+
+            texts = [t for t, _ in decode_crops_memo(model, crops, memo)]
             yield pd.DataFrame(
                 {
                     "doc_id": ids,

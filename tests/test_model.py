@@ -381,3 +381,42 @@ def test_ctc_rescore_gamma_bounds_beam_by_ctc_on_ood_text():
     for ev in model.beam_decode_steps(mem):
         final = ev
     assert final["finished"] and final["text"] == beam_text
+
+
+def test_decode_crops_memo_equals_plain_chunked_decode():
+    """Round-6 memo: content-addressed per-partition decode memo returns
+    exactly the plain ENCODE_CHUNK-stacked decode — texts AND confidences
+    — with duplicates (incl. duplicates inside one call, which must not
+    double-encode) served from the first occurrence."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from kiri_ocr_spark.operators.model import (
+        ENCODE_CHUNK,
+        decode_crops_memo,
+        get_model,
+    )
+    from kiri_ocr_spark.operators.train import render_crop
+
+    path = os.path.join(os.path.dirname(__file__), "..", "models", "trained_full.npz")
+    if not os.path.exists(path):
+        pytest.skip("trained artifact not built")
+    model = get_model(path=path)
+    lines = [
+        "the fast key", "order sort", "the fast key", "table scan",
+        "order sort", "the fast key", "group by key",
+    ]
+    crops = [render_crop(ln, model.tok)[1] for ln in lines]
+    plain = []
+    for i in range(0, len(crops), ENCODE_CHUNK):
+        chunk = np.stack(crops[i : i + ENCODE_CHUNK]).astype(np.float32)
+        plain.extend(model.ctc_greedy(model.encode(chunk, fp32=True)))
+    memo: dict = {}
+    got = decode_crops_memo(model, crops, memo)
+    assert [t for t, _ in got] == [t for t, _ in plain]
+    for (_, c1), (_, c2) in zip(got, plain):
+        assert abs(c1 - c2) < 1e-9
+    assert len(memo) == len(set(lines))
+    assert decode_crops_memo(model, crops, memo) == got  # pure replay
