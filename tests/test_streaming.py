@@ -50,6 +50,30 @@ def test_stream_extract_equals_batch(spark, fixture_dirs, tmp_path):
     assert n_batches >= 2
 
 
+def test_stream_extract_db_detector_equals_batch(spark, fixture_dirs, tmp_path):
+    """The neural-detector path streams too: detector= kwargs flow
+    through stream_extract -> extract_flat, so a micro-batched run with
+    the calibrated DB forward must equal the batch plan row-for-row
+    (the reference streams whatever detector process_document uses —
+    core.py:887-1026 is detector-agnostic)."""
+    docs_dir, media_dir = fixture_dirs
+    media = spark.read.parquet(media_dir)
+    out = str(tmp_path / "out_db")
+    ckpt = str(tmp_path / "ckpt_db")
+
+    q = stream_extract(spark, docs_dir, media, out, ckpt, detector="db")
+    assert q.awaitTermination(TIMEOUT_S)
+
+    got = spark.read.parquet(out).drop("batch_id")
+    want = extract_flat(
+        spark.read.parquet(docs_dir), media, broadcast_media=True, detector="db"
+    )
+    cols = ["doc_id", "ord", "kind", "text", "media_ref"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+
+
 def test_stream_extract_resume_is_exactly_once(spark, fixture_dirs, tmp_path):
     """Restarting a finished availableNow query from its checkpoint must
     not reprocess or duplicate anything."""
