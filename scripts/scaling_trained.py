@@ -12,7 +12,14 @@ template kernel's ~0.26 ms/page memory-bound mix), so it should scale
 at least as well as the gate stage; this records it instead of assuming
 it.
 
+Round 6 adds a second gated stage: ``neural_detect_extract`` rides
+q_extract_spans_db — calibrated conv-forward detection feeding the same
+trained decode (the assembled neural-detector dataflow) — so BOTH new
+production paths carry their own two-level evidence, not just the
+recognize stage.
+
 Usage: python scripts/scaling_trained.py [N=2] [sf_dir=/root/testdata/sf0.1]
+                                         [stage=trained_ctc_decode]
 Appends one JSON line to BENCH/scaling_trained.jsonl.
 """
 
@@ -33,8 +40,8 @@ cpus = {cpus}
 spark = get_spark(app_name="trained-scale", master=f"local[{{cpus}}]",
                   shuffle_partitions=2 * cpus)
 spark.sparkContext.setLogLevel("ERROR")
-from kiri_ocr_spark.queries import q_model_decode_trained
-df = q_model_decode_trained(spark, {sf_dir!r})
+from kiri_ocr_spark.queries import {query_fn}
+df = {query_fn}(spark, {sf_dir!r})
 def run():
     t0 = time.time()
     n = df.count()
@@ -47,11 +54,19 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, sf_dir: str, repeats: int = 2) -> dict:
+STAGES = {
+    "trained_ctc_decode": "q_model_decode_trained",
+    "neural_detect_extract": "q_extract_spans_db",
+}
+
+
+def run_level(cpus: int, sf_dir: str, query_fn: str, repeats: int = 2) -> dict:
     best = None
     for _ in range(repeats):
         out = subprocess.run(
-            [sys.executable, "-c", _CODE.format(repo=REPO, cpus=cpus, sf_dir=sf_dir)],
+            [sys.executable, "-c",
+             _CODE.format(repo=REPO, cpus=cpus, sf_dir=sf_dir,
+                          query_fn=query_fn)],
             capture_output=True, text=True, cwd=REPO, check=True,
         )
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("LEVEL ")][-1]
@@ -66,11 +81,13 @@ def main() -> int:
         os.environ.get("SPARK_GRAFT_SCALE_N", "2")
     )
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    low = run_level(n, sf_dir)
-    high = run_level(4 * n, sf_dir)
+    stage = sys.argv[3] if len(sys.argv) > 3 else "trained_ctc_decode"
+    query_fn = STAGES[stage]
+    low = run_level(n, sf_dir, query_fn)
+    high = run_level(4 * n, sf_dir, query_fn)
     speedup = low["wall"] / high["wall"]
     rec = {
-        "stage": "trained_ctc_decode", "sf_dir": sf_dir, "n": n,
+        "stage": stage, "sf_dir": sf_dir, "n": n,
         "t_n_sec": low["wall"], "t_4n_sec": high["wall"],
         "lines": low["lines"], "speedup": round(speedup, 3),
         "efficiency_nominal": round(speedup / 4.0, 3),
