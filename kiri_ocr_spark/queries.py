@@ -2996,6 +2996,56 @@ def q_model_decode_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample.mapInPandas(fn, schema="doc_id long, text string")
 
 
+def q_model_decode_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship ACCURACY mode at table scope
+    (model.py:390-600: BEAM=3 + LM fusion + repeat penalties; round 6
+    added CTC-anchor hypothesis injection + two-pass rescoring,
+    CTC_RESCORE_GAMMA=1.0): beam-decode the SAME held-out charset-oracle
+    lines `model_decode_charset` checks with greedy CTC, and require
+    glyph-exact text equality against the construction oracle through
+    the autoregressive decoder path. Same ids (doc_id % 17 == 0 — the
+    family's training split excludes them by construction), same render
+    + preprocess contract; only the decode mode differs. Beam is
+    per-sequence (hypothesis expansion can't stack across lines), so the
+    encoder runs chunked like the CTC query and the decoder loops per
+    line — the honest cost shape of the accuracy mode."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sample = _spread(docs.filter((F.col("doc_id") % 17) == 0).select("doc_id"))
+    path = trained_model_path()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .imaging.glyphs import render_page
+        from .operators.detect import resize_keep_ratio_pad
+        from .operators.model import ENCODE_CHUNK, get_model
+
+        model = get_model(path=path)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, crops = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                line = (
+                    "Id:" + "".join(_KH_DIGITS[int(c)] for c in str(d))
+                    + f" #{d % 100} " + chr(65 + d % 26)
+                    + _CHARSET_SYMS[d % 8]
+                )
+                ids.append(d)
+                crops.append(resize_keep_ratio_pad(render_page([line])))
+            texts = []
+            for i in range(0, len(crops), ENCODE_CHUNK):
+                chunk = np.stack(crops[i : i + ENCODE_CHUNK]).astype(
+                    np.float32
+                )
+                mems = model.encode(chunk, fp32=True)
+                texts.extend(model.beam_decode(mem)[0] for mem in mems)
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    return sample.mapInPandas(fn, schema="doc_id long, text string")
+
+
 _MODEL_DECODE_CHARSET_SQL = """
 SELECT doc_id,
        'Id:' || translate(CAST(doc_id AS VARCHAR), '0123456789', 'កខគឃងចឆជឈញ')
@@ -3425,6 +3475,7 @@ def query_registry() -> dict[str, QueryFn]:
         "model_decode": q_model_decode,
         "model_decode_trained": q_model_decode_trained,
         "model_decode_charset": q_model_decode_charset,
+        "model_decode_beam": q_model_decode_beam,
         "media_text_craft": q_media_text_craft,
         "media_text_db": q_media_text_db,
         "text_hierarchy": q_text_hierarchy,
@@ -3498,6 +3549,7 @@ def oracle_registry() -> dict[str, str]:
         "model_decode": _MODEL_DECODE_SQL.strip(),
         "model_decode_trained": _MODEL_DECODE_TRAINED_SQL.strip(),
         "model_decode_charset": _MODEL_DECODE_CHARSET_SQL.strip(),
+        "model_decode_beam": _MODEL_DECODE_CHARSET_SQL.strip(),
         "media_text_craft": _MODEL_DECODE_TRAINED_SQL.strip(),
         "media_text_db": _MODEL_DECODE_TRAINED_SQL.strip(),
         "text_hierarchy": _TEXT_HIERARCHY_SQL.strip(),

@@ -147,6 +147,28 @@ def main() -> int:
                 f"charset oracle {d}: {len(misses)}/{len(lines)} misses"
             )
 
+    # beam on the charset-oracle ids too: q_model_decode_beam requires
+    # hash-exact beam text on exactly these lines, so the swap gate must
+    # guarantee it (sf0.001's 30 lines keep the check cheap; the pattern
+    # beam CER==0 criterion below covers the family's structure at depth)
+    oracle_lines_tiny = charset_oracle_lines(SF_DIRS[0])
+    oracle_samples = [T.render_crop(l, model.tok) for l in oracle_lines_tiny]
+    beam_oracle_misses = sum(
+        model.beam_decode(
+            model.encode(
+                np.stack([s[1]]).astype(np.float32), fp32=True
+            )[0]
+        )[0] != s[0]
+        for s in oracle_samples
+    )
+    result["charset_oracle_beam_sf0.001"] = [
+        int(beam_oracle_misses), len(oracle_samples)
+    ]
+    if beam_oracle_misses:
+        result["failures"].append(
+            f"charset oracle beam: {beam_oracle_misses}/{len(oracle_samples)}"
+        )
+
     cov_beam = T.evaluate_cer(model, cov_held, method="beam", limit=200)
     corpus_beam = T.evaluate_cer(model, corpus_held_all, method="beam", limit=80)
     pat_beam = T.evaluate_cer(model, pat_held, method="beam", limit=100)
