@@ -405,8 +405,18 @@ def main() -> None:
     n_docs = docs.count()
     n_spans = docs.selectExpr("sum(size(spans))").first()[0]
 
-    # warm-up: JVM + python workers + broadcast (small slice)
-    _noop_write(extract_flat(docs.limit(50), media, broadcast_media=True))
+    # warm-up: one FULL untimed extraction pass. A 50-doc slice (rounds
+    # 1-5) warmed the JVM but touched only a few of the 32 python
+    # workers, so the first timed probes still paid per-worker model
+    # loads + numpy first-touch — visible as a monotone 8.4->7.0->6.6
+    # probe sequence once the trained path (whose per-worker warmup is
+    # ~10x the template's) became the headline. A production cluster
+    # amortizes worker warmup across the job stream, so steady-state is
+    # the honest per-query number; the warmup wall is recorded in the
+    # artifact rather than hidden.
+    t0_warm = time.monotonic()
+    _noop_write(extract_flat(docs, media, broadcast_media=True))
+    warmup_s = round(time.monotonic() - t0_warm, 3)
 
     skew_blocks: dict[str, dict] = {}
     skew_runs: dict[str, list] = {}
@@ -508,6 +518,7 @@ def main() -> None:
         "spans_per_sec": round(n_spans / t_extract, 2),
         "cpus": cpus,
         "fixture_build_sec": round(t_fixture, 3),
+        "warmup_full_pass_s": warmup_s,
         "skew": salt_balance(docs),
         "query_skew": skew_blocks,
         "query_skew_runs": skew_runs,

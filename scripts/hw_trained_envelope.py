@@ -63,20 +63,27 @@ def run(procs: int):
     return total, dt
 
 
-def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+def measure_envelope(n: int, repeats: int = 2) -> float:
+    """The N -> 4N throughput ratio of the bare kernel on this host —
+    the ceiling any framework's stage speedup is graded against."""
     rates = {}
     for procs in (n, 4 * n):
         best = None
-        for _ in range(2):
+        for _ in range(repeats):
             total, dt = run(procs)
             if best is None or dt < best[1]:
                 best = (total, dt)
         rates[procs] = best[0] / best[1]
         print(f"procs={procs}: {best[0]} crops in {best[1]:.2f}s "
               f"= {rates[procs]:.1f} crops/s")
-    print(f"hardware envelope {n}->{4*n}: {rates[4*n]/rates[n]:.2f}x "
-          f"(nominal ceiling {rates[4*n]/rates[n]/4:.3f})")
+    return rates[4 * n] / rates[n]
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    env = measure_envelope(n)
+    print(f"hardware envelope {n}->{4*n}: {env:.2f}x "
+          f"(nominal ceiling {env/4:.3f})")
     return 0
 
 
