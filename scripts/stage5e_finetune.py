@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Stage-5e fine-tune: train on the MINED failure surface.
+
+Consumes scripts/stage5e_mine.py output (the candidate's actual CTC
+misses over seeded random lines) and fine-tunes on those misses
+oversampled with fresh prefix redraws — each mined line's failing tail
+cluster is kept verbatim while its prefix words are redrawn from the
+full charset deck, so the model sees the failure mode across many
+phases/contexts instead of one literal string. Keep-alive slices of the
+corpus and every prior family prevent forgetting; lr is gentle (1e-5)
+because stage-5d showed 2e-5 over a large family mix wobbles corpus
+exactness (1 sf0.1 regression, gate-rejected, recorded in
+/tmp/stage5_result.json and models/trained_full_s5d_charset_report.json).
+
+Reports pre/post CER on every standard held-out family PLUS a fresh
+mined-style probe (generator style (b), independent seed) so the
+open-set improvement on the failure shape is measured, not assumed.
+
+Usage: python scripts/stage5e_finetune.py [out_prefix] [mined_json]
+       [in_prefix] [epochs] [lr] [oversample]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+def prefix_variants(line: str, n: int, seed: int) -> list[str]:
+    """Keep the final (failing) word; redraw the prefix words from the
+    full deck with varied lengths so the tail cluster is seen at many
+    x-phases and after many glyph shapes."""
+    from kiri_ocr_spark.imaging.glyphs import CHARSET
+
+    rng = np.random.default_rng(seed)
+    full = list(CHARSET)
+    tail = line.split(" ")[-1]
+    out = [line]
+    for _ in range(n - 1):
+        k = int(rng.integers(1, 3))
+        words = ["".join(rng.choice(full, int(rng.integers(2, 6)))) for _ in range(k)]
+        out.append(" ".join(words + [tail]))
+    return out
+
+
+def mined_probe_lines(n: int, seed: int) -> list[str]:
+    """Fresh style-(b) probe: symbol/Khmer-heavy 2-word prefix + a
+    wide+thin+sym tail — the mined failure shape, independent seed."""
+    from kiri_ocr_spark.imaging.glyphs import CHARSET
+
+    rng = np.random.default_rng(seed)
+    full = list(CHARSET)
+    wide = [c for c in CHARSET if (not c.isascii()) or c.isupper()]
+    thin = [c for c in CHARSET if c in "iljft1!|()[]{};:',.\"`"]
+    sym = [c for c in CHARSET if not c.isalnum()]
+    out = []
+    for _ in range(n):
+        w1 = "".join(rng.choice(full, rng.integers(3, 6)))
+        w2 = "".join(rng.choice(full, rng.integers(3, 6)))
+        tail = (
+            rng.choice(wide)
+            + rng.choice(thin)
+            + rng.choice(sym if rng.integers(2) else full)
+        )
+        out.append(f"{w1} {w2} {tail}")
+    return out
+
+
+def main() -> int:
+    out_prefix = sys.argv[1] if len(sys.argv) > 1 else "models/trained_full_s5e"
+    mined_json = sys.argv[2] if len(sys.argv) > 2 else "models/stage5e_mined.json"
+    in_prefix = sys.argv[3] if len(sys.argv) > 3 else "models/trained_full_s5c"
+    epochs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    lr = float(sys.argv[5]) if len(sys.argv) > 5 else 1e-5
+    oversample = int(sys.argv[6]) if len(sys.argv) > 6 else 30
+
+    from kiri_ocr_spark.operators import train as T
+    from kiri_ocr_spark.operators.model import load_model, save_model
+    from scripts.stage5e_mine import heldout_exclusions
+
+    t0 = time.monotonic()
+    model = load_model(in_prefix)
+    mined = json.load(open(mined_json))
+    excl = heldout_exclusions()
+
+    mined_lines: list[str] = []
+    for k, m in enumerate(mined["misses"]):
+        mined_lines += prefix_variants(m["line"], oversample, seed=5000 + k)
+    mined_lines = [ln for ln in mined_lines if ln not in excl]
+    mined_train = [
+        T.render_crop(ln, model.tok, tinted=(i % 5 == 3))
+        for i, ln in enumerate(mined_lines)
+    ]
+
+    corpus_train, corpus_held = [], []
+    for d in SF_DIRS:
+        tr, he = T.fixture_line_crops(d, tok=model.tok)
+        corpus_train += tr
+        corpus_held += he
+    cov_train, cov_held = T.charset_coverage_crops(model.tok, n_train=1500)
+    pat_train, pat_held = T.charset_pattern_crops(model.tok, n_train=500)
+    adj_train, adj_held = T.charset_adjacency_crops(model.tok, n_train=1000)
+    int_train, int_held = T.charset_interior_crops(model.tok, n_train=1000)
+    tri_train, tri_held = T.charset_trigram_crops(model.tok, n_train=1000)
+    thp_train, thp_held = T.charset_thinpair_crops(model.tok, n_train=1000)
+    probe_held = [
+        T.render_crop(ln, model.tok, tinted=(i % 5 == 3))
+        for i, ln in enumerate(mined_probe_lines(300, seed=4001))
+    ]
+
+    report = {
+        "in_prefix": in_prefix, "mined_json": mined_json,
+        "mined_misses": mined["n_misses"], "mined_train": len(mined_train),
+        "corpus_train": len(corpus_train), "epochs": epochs, "lr": lr,
+        "oversample": oversample,
+    }
+    evals = [
+        ("corpus", corpus_held), ("coverage", cov_held), ("pattern", pat_held),
+        ("adjacency", adj_held), ("interior", int_held), ("trigram", tri_held),
+        ("thinpair", thp_held), ("minedprobe", probe_held),
+    ]
+    for name, held in evals:
+        report[f"pre_cer_ctc_{name}"] = round(
+            T.evaluate_cer(model, held, method="ctc"), 5
+        )
+    print("pre:", {k: v for k, v in report.items() if k.startswith("pre")},
+          flush=True)
+
+    hist = T.train(
+        model,
+        corpus_train + mined_train + cov_train + pat_train + adj_train
+        + int_train + tri_train + thp_train,
+        epochs=epochs, batch_size=16, lr=lr, train_stem=True,
+        align_epochs=0, lr_decay_at=(0.6,),
+        val_samples=corpus_held + cov_held, val_every=2,
+    )
+    report["loss_history"] = [[round(a, 5), round(b, 5)] for a, b in hist]
+    for name, held in evals:
+        report[f"post_cer_ctc_{name}"] = round(
+            T.evaluate_cer(model, held, method="ctc"), 5
+        )
+        if name in ("corpus", "coverage", "minedprobe"):
+            report[f"post_cer_beam_{name}"] = round(
+                T.evaluate_cer(model, held, method="beam", limit=48), 5
+            )
+    report["finetune_sec"] = round(time.monotonic() - t0, 1)
+    save_model(model, out_prefix)
+    with open(out_prefix + "_charset_report.json", "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
