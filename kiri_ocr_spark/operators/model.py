@@ -35,7 +35,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .recognize import ctc_collapse, ctc_forward_score
+from .recognize import CtcPrefixScorer, ctc_collapse, ctc_forward_score
 
 
 @dataclass
@@ -417,19 +417,21 @@ class NumpyKiriModel:
         return item[1] / ((5 + L) ** p / 6**p)
 
     def _beam_setup(self, mem_row: np.ndarray, beam: int | None):
-        """Shared beam-search preamble: memory, step cap, CTC fusion state."""
+        """Shared beam-search preamble: memory, step cap, CTC fusion state.
+        Fusion state is a per-decode CtcPrefixScorer (None when fusion is
+        off) — incremental/memoized, bit-equal to ctc_forward_score."""
         cfg = self.cfg
         beam = beam or cfg.BEAM
         mem = mem_row[None]
         ctc_text, _ = self.ctc_greedy(mem)[0]
         max_len = self._len_cap(len(ctc_text))
-        ctc_logp = None
+        scorer = None
         if cfg.CTC_FUSION_ALPHA > 0.0:
-            ctc_logp = log_softmax(self.ctc_logits(mem))[0]
-        return beam, mem, max_len, ctc_logp, ctc_text
+            scorer = CtcPrefixScorer(log_softmax(self.ctc_logits(mem))[0])
+        return beam, mem, max_len, scorer, ctc_text
 
     def _fused_sequence_score(
-        self, tokens: list[int], mem: np.ndarray, ctc_logp: np.ndarray
+        self, tokens: list[int], mem: np.ndarray, scorer: "CtcPrefixScorer"
     ) -> tuple[float, float]:
         """(fused_score, decoder_only_logp) of a GIVEN decoder sequence
         (dec ids, EOS included) under exactly the penalties and fusion
@@ -443,8 +445,8 @@ class NumpyKiriModel:
         rows = log_softmax(self._decode_step(prefix, mem)[0])
 
         def ctc_score(seq: list[int]) -> float:
-            target = np.array([d - 1 for d in seq[1:] if d >= 3])
-            s = ctc_forward_score(ctc_logp, target)
+            target = tuple(d - 1 for d in seq[1:] if d >= 3)
+            s = scorer.score(target)
             return s if np.isfinite(s) else -1e4
 
         seq = [bos]
@@ -461,7 +463,7 @@ class NumpyKiriModel:
                         row[seq[j + 1]] += cfg.REPEAT_PENALTY / 2.0
             score += float(row[t])
             dlp += float(row[t])
-            if ctc_logp is not None and t != eos:
+            if scorer is not None and t != eos:
                 score += cfg.CTC_FUSION_ALPHA * (
                     ctc_score(seq + [t]) - ctc_score(seq)
                 )
@@ -472,7 +474,7 @@ class NumpyKiriModel:
         self,
         beams: list[tuple[list[int], float, float, bool]],
         mem: np.ndarray,
-        ctc_logp: np.ndarray | None,
+        scorer: "CtcPrefixScorer | None",
         ctc_text: str,
     ) -> tuple[list[int], float, float, bool]:
         """Final-hypothesis selection with CTC-hypothesis injection: the
@@ -490,21 +492,20 @@ class NumpyKiriModel:
         beam is CTC-length-capped and fusion-rescored (model.py:390-600);
         this takes the anchor to its fixed point."""
         best = max(beams, key=self._norm_score)
-        if ctc_logp is None or not ctc_text:
+        if scorer is None or not ctc_text:
             return best
         dec_ids = [int(v) for v in self.tok.raw_to_dec(self.tok.encode(ctc_text))]
         seq = [self.tok.DEC_BOS] + dec_ids + [self.tok.DEC_EOS]
         finalists = list(beams)
         if seq != best[0] and len(seq) - 1 <= self.cfg.MAX_DEC_LEN:
-            score, dlp = self._fused_sequence_score(seq[1:], mem, ctc_logp)
+            score, dlp = self._fused_sequence_score(seq[1:], mem, scorer)
             finalists.append((seq, score, dlp, True))
         gamma = self.cfg.CTC_RESCORE_GAMMA
         if gamma <= 0.0:
             return max(finalists, key=self._norm_score)
 
         def rescore(item: tuple[list[int], float, float, bool]) -> float:
-            target = np.array([d - 1 for d in item[0][1:] if d >= 3])
-            cs = ctc_forward_score(ctc_logp, target)
+            cs = scorer.score(tuple(d - 1 for d in item[0][1:] if d >= 3))
             cs = float(cs) if np.isfinite(cs) else -1e4
             return self._norm_score((item[0], item[2] + gamma * cs, 0.0, True))
 
@@ -514,23 +515,19 @@ class NumpyKiriModel:
         self,
         beams: list[tuple[list[int], float, float, bool]],
         mem: np.ndarray,
-        ctc_logp: np.ndarray | None,
+        scorer: "CtcPrefixScorer | None",
         beam: int,
     ) -> list[tuple[list[int], float, float, bool]]:
         """One beam expansion + re-sort (the loop body of model.py:440-600).
         Beam tuples are (seq, fused_score, decoder_only_logp, done) —
         confidence must come from decoder log-probs alone (A10), never
-        fusion bonuses."""
+        fusion bonuses. CTC-fusion increments come from the per-decode
+        CtcPrefixScorer (dec ids -> ctc ids: dec d>=3 maps to raw d-3
+        maps to ctc d-1), batched across the step's candidates — same
+        scores as per-candidate full DP, one frame sweep."""
         cfg = self.cfg
-        bos, eos = self.tok.DEC_BOS, self.tok.DEC_EOS
+        eos = self.tok.DEC_EOS
         unk_dec = self.tok.unk_id + 3
-
-        def ctc_score(seq: list[int]) -> float:
-            """CTC-forward alignment of the decoder prefix (dec ids ->
-            ctc ids: dec d>=3 maps to raw d-3 maps to ctc d-1)."""
-            target = np.array([d - 1 for d in seq[1:] if d >= 3])
-            s = ctc_forward_score(ctc_logp, target)
-            return s if np.isfinite(s) else -1e4
 
         alive = [b for b in beams if not b[3]]
         ids = np.array([b[0] for b in alive], dtype=np.int64)
@@ -539,6 +536,7 @@ class NumpyKiriModel:
         cand: list[tuple[list[int], float, float, bool]] = [
             b for b in beams if b[3]
         ]
+        pending: list[tuple[int, tuple, tuple]] = []  # (cand_idx, parent, new)
         for (seq, score, dlp, _), row in zip(alive, logp):
             row = row.copy()
             row[unk_dec] += cfg.UNK_PENALTY
@@ -551,16 +549,31 @@ class NumpyKiriModel:
                     if seq[j] == seq[-1]:
                         row[seq[j + 1]] += cfg.REPEAT_PENALTY / 2.0
             top = np.argsort(-row, kind="stable")[:beam]
+            parent_target = tuple(d - 1 for d in seq[1:] if d >= 3)
             for t in top:
                 new_seq = seq + [int(t)]
                 new_score = score + float(row[t])
-                if ctc_logp is not None and int(t) != eos:
-                    new_score += cfg.CTC_FUSION_ALPHA * (
-                        ctc_score(new_seq) - ctc_score(seq)
+                if scorer is not None and int(t) != eos:
+                    new_target = (
+                        parent_target + (int(t) - 1,)
+                        if int(t) >= 3 else parent_target
                     )
+                    pending.append((len(cand), parent_target, new_target))
                 cand.append(
                     (new_seq, new_score, dlp + float(row[t]), int(t) == eos)
                 )
+        if pending:
+            # one vectorized sweep for all of the step's new prefixes
+            scorer.scores_batch([nt for _, _, nt in pending if nt])
+            for idx, parent, new in pending:
+                ps = scorer.score(parent)
+                ns = scorer.score(new)
+                inc = cfg.CTC_FUSION_ALPHA * (
+                    (ns if np.isfinite(ns) else -1e4)
+                    - (ps if np.isfinite(ps) else -1e4)
+                )
+                seq, score, dlp, done = cand[idx]
+                cand[idx] = (seq, score + inc, dlp, done)
         cand.sort(key=lambda it: (-self._norm_score(it), len(it[0])))
         return cand[:beam]
 
@@ -569,7 +582,7 @@ class NumpyKiriModel:
         score / ((5+L)^p / 6^p), n-gram repeat penalties, UNK penalty,
         early exit when all beams emit EOS (model.py:390-600). beam=1
         degenerates to greedy decode (M3)."""
-        beam, mem, max_len, ctc_logp, ctc_text = self._beam_setup(mem_row, beam)
+        beam, mem, max_len, scorer, ctc_text = self._beam_setup(mem_row, beam)
         bos = self.tok.DEC_BOS
         beams: list[tuple[list[int], float, float, bool]] = [
             ([bos], 0.0, 0.0, False)
@@ -577,9 +590,9 @@ class NumpyKiriModel:
         for _ in range(max_len):
             if all(done for *_, done in beams):
                 break  # early exit (model.py:444-445)
-            beams = self._beam_advance(beams, mem, ctc_logp, beam)
+            beams = self._beam_advance(beams, mem, scorer, beam)
 
-        best = self._final_best(beams, mem, ctc_logp, ctc_text)
+        best = self._final_best(beams, mem, scorer, ctc_text)
         seq = np.array(best[0][1:], dtype=np.int64)
         conf = float(np.clip(np.exp(best[2] / max(len(seq), 1)), 0.0, 1.0))
         return self.tok.decode_dec(seq), conf

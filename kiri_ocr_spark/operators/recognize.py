@@ -94,6 +94,132 @@ def ctc_forward_score(log_probs: np.ndarray, target: np.ndarray,
     return float(end)
 
 
+class CtcPrefixScorer:
+    """Incremental, memoized ``ctc_forward_score`` over one (T, V)
+    lattice — the beam-search CTC-fusion hot path.
+
+    ``ctc_forward_score(lp, y)`` recomputes the full blank-extended DP
+    (O(T·|y|) Python-loop cells) for EVERY prefix the beam scores; beam
+    search scores ~2 full prefixes per candidate per step, making CTC
+    fusion O(T·L³) per line — profiled at 95% of beam_decode wall. The
+    DP's column s depends only on columns s-1/s-2 of the same frame
+    sweep, so extending a scored prefix by one label only needs its two
+    TRAILING DP columns: state = (trailing-blank column, last-label
+    column, last label), each a length-T vector. One extension is one
+    O(T) sweep; states memoize by target tuple, so the beam's shared
+    prefixes are computed once.
+
+    Bit-exactness contract (law-tested in test_finders.py): every
+    logaddexp is applied in the SAME association order as
+    ctc_forward_score's cell update (prev[s], then prev[s-1], then the
+    skip prev[s-2]), columns accumulate frame-sequentially like the
+    full DP, and the final score combines the last two columns in the
+    full DP's order — ``score(y) == ctc_forward_score(lp, y)`` to the
+    bit, including -inf unalignable prefixes. The empty-target score
+    replicates the full DP's dedicated ``lp[:, blank].sum()`` path
+    (pairwise summation), NOT the sequential column, exactly as the
+    original returns it.
+
+    ``scores_batch`` vectorizes the frame sweep ACROSS one beam step's
+    candidate extensions (elementwise ops preserve per-element order),
+    so a step's 9 candidate scores cost one sweep instead of nine.
+    """
+
+    def __init__(self, log_probs: np.ndarray, blank_id: int = BLANK_ID):
+        self.lp = log_probs
+        self.blank = blank_id
+        T = len(log_probs)
+        if T:
+            col0 = np.cumsum(log_probs[:, blank_id])
+            empty_score = float(log_probs[:, blank_id].sum())
+        else:
+            col0 = np.zeros(0)
+            empty_score = 0.0
+        # memo: target tuple -> ((col_blank, col_label|None, last|None), score)
+        self._memo: dict[tuple, tuple[tuple, float]] = {
+            (): ((col0, None, None), empty_score)
+        }
+
+    def score(self, target) -> float:
+        """log-score of ``target`` (label ids, no blanks) — memoized;
+        unseen targets extend from their longest memoized prefix."""
+        key = tuple(int(v) for v in target)
+        hit = self._memo.get(key)
+        if hit is None:
+            self.score(key[:-1])  # ensure the parent state exists
+            hit = self._extend(self._memo[key[:-1]][0], key[-1])
+            self._memo[key] = hit
+        return hit[1]
+
+    def scores_batch(self, targets: list[tuple]) -> list[float]:
+        """Scores for single-label EXTENSIONS of memoized parents,
+        computed in one vectorized frame sweep; falls back to scalar
+        score() for anything deeper than one unmemoized label."""
+        todo: dict[tuple, int] = {}
+        for key in targets:
+            if key not in self._memo and key[:-1] in self._memo \
+                    and key not in todo:
+                todo[key] = len(todo)
+        if todo:
+            lp, blank = self.lp, self.blank
+            T = len(lp)
+            B = len(todo)
+            keys = list(todo)
+            labels = np.array([k[-1] for k in keys], dtype=np.int64)
+            PB = np.stack([self._memo[k[:-1]][0][0] for k in keys])
+            root = np.array([self._memo[k[:-1]][0][1] is None for k in keys])
+            PL = np.stack([
+                self._memo[k[:-1]][0][1]
+                if self._memo[k[:-1]][0][1] is not None
+                else np.full(T, -np.inf)
+                for k in keys
+            ])
+            skip = np.array([
+                self._memo[k[:-1]][0][1] is not None
+                and k[-1] != self._memo[k[:-1]][0][2]
+                for k in keys
+            ])
+            NL = np.full((B, T), -np.inf)
+            NB = np.full((B, T), -np.inf)
+            lpl = lp[:, labels]  # (T, B)
+            NL[root, 0] = lpl[0][root]
+            for t in range(1, T):
+                best = np.logaddexp(NL[:, t - 1], PB[:, t - 1])
+                best = np.where(
+                    skip, np.logaddexp(best, PL[:, t - 1]), best
+                )
+                NL[:, t] = best + lpl[t]
+                NB[:, t] = np.logaddexp(NB[:, t - 1], NL[:, t - 1]) \
+                    + lp[t, blank]
+            ends = np.logaddexp(NB[:, T - 1], NL[:, T - 1]) if T else \
+                np.full(B, -np.inf)
+            for i, k in enumerate(keys):
+                self._memo[k] = ((NB[i], NL[i], int(labels[i])),
+                                 float(ends[i]))
+        return [self.score(k) for k in targets]
+
+    def _extend(self, state, label: int):
+        pb, pl, plab = state
+        lp, blank = self.lp, self.blank
+        T = len(lp)
+        lpl = lp[:, label]
+        lpb = lp[:, blank]
+        nl = np.full(T, -np.inf)
+        nb = np.full(T, -np.inf)
+        if T:
+            if pl is None:  # first label: DP init row, s == 1
+                nl[0] = lpl[0]
+        skip = pl is not None and label != plab
+        for t in range(1, T):
+            best = np.logaddexp(nl[t - 1], pb[t - 1])
+            if skip:
+                best = np.logaddexp(best, pl[t - 1])
+            nl[t] = best + lpl[t]
+            nb[t] = np.logaddexp(nb[t - 1], nl[t - 1]) + lpb[t]
+        end = float(np.logaddexp(nb[T - 1], nl[T - 1])) if T else -np.inf
+        return (nb, nl, label), end
+
+
 _CHAR_ID = {c: i for i, c in enumerate(CHARSET)}
 
 

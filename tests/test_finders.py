@@ -20,7 +20,7 @@ from kiri_ocr_spark.operators.finders import (
     multi_method_candidates,
     point_in_box,
 )
-from kiri_ocr_spark.operators.recognize import ctc_forward_score
+from kiri_ocr_spark.operators.recognize import CtcPrefixScorer, ctc_forward_score
 
 
 @pytest.fixture(scope="module")
@@ -124,6 +124,62 @@ def test_ctc_forward_edge_cases():
     )
     # target longer than frames can align -> -inf
     assert np.isinf(ctc_forward_score(logp, np.array([1, 1, 1])))
+
+
+def _rand_lattice(rng, T, V):
+    logits = rng.normal(size=(T, V))
+    return logits - np.log(np.exp(logits).sum(axis=1, keepdims=True))
+
+
+def test_ctc_prefix_scorer_bitexact_vs_full_dp():
+    """Law: CtcPrefixScorer.score(y) == ctc_forward_score(lp, y) to the
+    BIT (same logaddexp association order, frame-sequential columns),
+    including the dedicated empty-target sum and -inf unalignable
+    prefixes — the contract the beam CTC-fusion hot path relies on."""
+    rng = np.random.default_rng(7)
+    for T, V in ((6, 4), (9, 5), (17, 7)):
+        logp = _rand_lattice(rng, T, V)
+        scorer = CtcPrefixScorer(logp)
+        assert scorer.score(()) == ctc_forward_score(logp, np.array([], dtype=int))
+        prefixes = [
+            tuple(int(v) for v in rng.integers(1, V, size=int(rng.integers(1, T + 3))))
+            for _ in range(12)
+        ]
+        # shared-prefix growth exercises the memoized incremental path
+        prefixes += [prefixes[0][:k] for k in range(1, len(prefixes[0]))]
+        # repeated labels exercise the no-skip transition
+        prefixes += [(1, 1), (1, 1, 1), (2, 2, 1)]
+        for p in prefixes:
+            want = ctc_forward_score(logp, np.array(p, dtype=int))
+            got = scorer.score(p)
+            if np.isinf(want):
+                assert np.isinf(got)
+            else:
+                assert got == want  # bit-exact, not approx
+
+
+def test_ctc_prefix_scorer_batch_matches_scalar():
+    """scores_batch (one vectorized sweep across a beam step's candidate
+    extensions) is bit-equal to the scalar extension path and the full DP."""
+    rng = np.random.default_rng(23)
+    logp = _rand_lattice(rng, 11, 6)
+    scorer = CtcPrefixScorer(logp)
+    parents = [(), (1,), (2, 3), (4, 4), (5, 1, 2)]
+    for p in parents:
+        scorer.score(p)
+    exts = [p + (lab,) for p in parents for lab in (1, 2, 5)]
+    # include an already-memoized key and a depth-2 fallback key
+    scorer.score(exts[0])
+    exts.append((1, 2, 3, 4))  # parent (1,2,3) unmemoized -> scalar fallback
+    got = scorer.scores_batch(exts)
+    fresh = CtcPrefixScorer(logp)
+    for key, g in zip(exts, got):
+        want = ctc_forward_score(logp, np.array(key, dtype=int))
+        if np.isinf(want):
+            assert np.isinf(g) and np.isinf(fresh.score(key))
+        else:
+            assert g == want
+            assert fresh.score(key) == want
 
 
 # --- S9/S10 sinks -------------------------------------------------------------
