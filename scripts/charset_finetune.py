@@ -84,6 +84,18 @@ def main() -> int:
 
     t0 = time.monotonic()
     model = load_model(in_prefix)
+    # Candidate chains can start from artifacts predating shipped decode
+    # knobs (stage-5e's meta carried CTC_RESCORE_GAMMA=0.0, so its beam
+    # deck numbers measured the weaker gamma-0 selection — BASELINE.md
+    # round-6 stage-5e note). Lift the SHIPPED deployment decode config
+    # so reported beam CERs are deployment numbers.
+    try:
+        _shipped = json.load(open("models/trained_full_meta.json"))["config"]
+        for _k in ("CTC_FUSION_ALPHA", "CTC_RESCORE_GAMMA"):
+            if _k in _shipped:
+                setattr(model.cfg, _k, _shipped[_k])
+    except (FileNotFoundError, KeyError, ValueError):
+        pass
     corpus_train, corpus_held = [], []
     for d in SF_DIRS:
         tr, he = T.fixture_line_crops(d, tok=model.tok)
