@@ -31,6 +31,7 @@ HEADLINE_QUERIES = [
     # its own timing here for round-over-round continuity.
     "extract_spans_template",
     "extract_spans_db",
+    "extract_spans_beam",
     "model_decode_beam",
     "text_hierarchy",
     "media_text_craft",

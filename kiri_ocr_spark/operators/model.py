@@ -856,8 +856,10 @@ def decode_crops_memo(
     crops: list[np.ndarray],
     memo: dict,
     fp32: bool = True,
+    method: str = "ctc",
 ) -> list[tuple[str, float]]:
-    """CTC-greedy decode of line crops through a content-addressed memo.
+    """CTC-greedy (or beam, ``method="beam"``) decode of line crops
+    through a content-addressed memo.
 
     Real corpora repeat lines (the same pattern the template path's
     recognize._LINE_MEMO exploits; reference core.py:220-231 caches at
@@ -887,7 +889,16 @@ def decode_crops_memo(
         chunk = np.stack([crops[i] for i in idxs]).astype(np.float32)
         if len(memo) >= 65536:
             memo.clear()
-        for i, d in zip(idxs, model.ctc_greedy(model.encode(chunk, fp32=fp32))):
+        mem = model.encode(chunk, fp32=fp32)
+        decoded = (
+            model.ctc_greedy(mem)
+            if method == "ctc"
+            # W8/M4 accuracy mode: encode stays chunk-stacked; the
+            # autoregressive beam runs per memory row (CTC-fusion via the
+            # incremental CtcPrefixScorer keeps this ~70 ms/line)
+            else [model.beam_decode(mem[r]) for r in range(len(idxs))]
+        )
+        for i, d in zip(idxs, decoded):
             memo[keys[i]] = d
     for i, k in enumerate(keys):
         out[i] = memo[k]

@@ -122,7 +122,9 @@ def _ocr_batches(broadcast):
     return fn
 
 
-def _ocr_batches_trained(model_path: str, det_method: str = "legacy"):
+def _ocr_batches_trained(
+    model_path: str, det_method: str = "legacy", decode_method: str = "ctc"
+):
     """mapInPandas kernel, trained-recognizer variant (the reference's
     actual architecture — core.py:719-793 always decodes through the
     model): decode PNG -> detect lines -> batched numpy-transformer CTC
@@ -247,7 +249,7 @@ def _ocr_batches_trained(model_path: str, det_method: str = "legacy"):
             from .operators.model import decode_crops_memo
 
             t0 = time.monotonic()
-            decoded = decode_crops_memo(model, crops, memo)
+            decoded = decode_crops_memo(model, crops, memo, method=decode_method)
             if crops:  # spread encode cost over owning rows' kernel time
                 per = int((time.monotonic() - t0) * 1_000_000 / len(crops))
                 by_row: dict[int, list[tuple[str, float]]] = {}
@@ -365,10 +367,17 @@ def extract_span_rows(
         joined = salted.join(media, "media_ref", "left").repartition(nparts, "salt")
     joined = joined.select("doc_id", "offset", "kind", "media_ref", "png_bytes")
 
-    if recognizer == "trained":
+    if recognizer in ("trained", "beam"):
         from .queries import trained_model_path
 
-        kernel = _ocr_batches_trained(trained_model_path(), det_method=detector)
+        kernel = _ocr_batches_trained(
+            trained_model_path(),
+            det_method=detector,
+            # "beam" = the reference's flagship ACCURACY mode (BEAM=3 +
+            # CTC fusion + anchor injection/rescoring, model.py:390-600)
+            # driven through full extraction; "trained" = its fast path
+            decode_method="beam" if recognizer == "beam" else "ctc",
+        )
     else:
         if detector != "legacy":
             raise ValueError(

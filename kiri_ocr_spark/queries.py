@@ -114,6 +114,19 @@ def q_extract_spans_craft(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_spans_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ASSEMBLED extraction through the reference's flagship
+    ACCURACY mode: every media line beam-decodes (BEAM=3, CTC fusion,
+    anchor injection + rescoring — model.py:390-600) inside the same
+    salted/broadcast dataflow and A8/W9 assembly as the flagship,
+    against the SAME construction oracle. Feasible at table scope
+    because of the incremental CtcPrefixScorer (17x beam decode); the
+    stage-5 artifact gate pins beam corpus exactness at every sf so
+    artifact swaps cannot regress this query."""
+    docs, media = build_fixture(spark, sf_dir)
+    return extract_flat(docs, media, broadcast_media=True, recognizer="beam")
+
+
 def q_extract_spans_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The glyph-template construction path, retired from flagship duty
     to fixture/fallback duty by the round-6 default flip but still
@@ -3431,6 +3444,7 @@ def query_registry() -> dict[str, QueryFn]:
         "extract_spans_template": q_extract_spans_template,
         "extract_spans_db": q_extract_spans_db,
         "extract_spans_craft": q_extract_spans_craft,
+        "extract_spans_beam": q_extract_spans_beam,
         "media_line_detect": q_media_line_detect,
         "media_line_detect_db": q_media_line_detect_db,
         "media_line_detect_craft": q_media_line_detect_craft,
@@ -3493,6 +3507,7 @@ def oracle_registry() -> dict[str, str]:
         "extract_spans_template": expected_sql("documents"),
         "extract_spans_db": expected_sql("documents"),
         "extract_spans_craft": expected_sql("documents"),
+        "extract_spans_beam": expected_sql("documents"),
         "media_line_detect": _MEDIA_DETECT_SQL.strip(),
         "media_line_detect_db": _FACADE_DETECT_SQL.strip(),
         "media_line_detect_craft": _FACADE_DETECT_SQL.strip(),
