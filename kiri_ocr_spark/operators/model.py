@@ -402,6 +402,112 @@ class NumpyKiriModel:
             x = layer_norm(x + ff, ly["g3"], ly["b3"])
         return x @ self.lm_head[0] + self.lm_head[1]
 
+    def _pos_row(self, p: int) -> np.ndarray:
+        """Row ``p`` of the sinusoidal 1D positional encoding — identical
+        elementwise formula to pos_enc_1d(L)[p] for any L (bit-equal; the
+        encoding of a position never depends on the sequence length)."""
+        D = self.cfg.D_MODEL
+        div = np.exp(np.arange(0, D, 2) * (-np.log(10000.0) / D))
+        row = np.zeros(D)
+        row[0::2] = np.sin(p * div)
+        row[1::2] = np.cos(p * div)
+        return row
+
+    def _cross_kv(self, mem: np.ndarray) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Per-layer cross-attention K/V heads of the (1, T, D) encoder
+        memory — constant across decode steps, so computed ONCE per line
+        instead of re-projected (x3 beam copies) inside every
+        _decode_step: the profiled majority of beam wall. Consumed via
+        broadcasting matmul, which is bit-equal to the materialized
+        repeat (law-tested in test_model)."""
+        H = self.cfg.N_HEADS
+        _, T, D = mem.shape
+        dh = D // H
+        out = []
+        for ly in self.dec_layers:
+            kh = (mem @ ly["ck"]).reshape(1, T, H, dh).transpose(0, 2, 1, 3)
+            vh = (mem @ ly["cv"]).reshape(1, T, H, dh).transpose(0, 2, 1, 3)
+            out.append((kh, vh))
+        return out
+
+    def _qkv_cat(self) -> list[np.ndarray]:
+        """Per-layer [sq|sk|sv] column-concatenated self-attention
+        projection — one GEMM per layer per step instead of three.
+        Rebuilt per decode (cheap: 2x(D, 3D) concats) rather than cached
+        on the model, because training updates the source arrays in
+        place and a stale cache would be silently wrong."""
+        return [
+            np.concatenate([ly["sq"], ly["sk"], ly["sv"]], axis=1)
+            for ly in self.dec_layers
+        ]
+
+    def _advance_logits_kv(self, alive: list, kv: dict) -> np.ndarray:
+        """Last-position decoder log-probs for the alive beams via
+        incremental K/V caches — the autoregressive identity: with causal
+        masking, position i's activations depend only on positions <= i,
+        so each step only needs the NEW position's row through the
+        network (self-attention over cached K/V rows + the per-decode
+        cross K/V). Replaces the full teacher-forced re-forward
+        (O(L^2 + L*T_enc) per step) with O(L + 1) work.
+
+        Equality contract is TEXT-level, not bit-level: the full
+        re-forward's own bits already depend on the alive-beam count
+        (BLAS m-blocking is not row-stable — measured), so bit-parity
+        was never defined even for the old path. The law test pins
+        text + ~1e-9 confidence agreement against the full forward over
+        seeded decks, and the extraction oracles pin end-to-end."""
+        cfg = self.cfg
+        H, D = cfg.N_HEADS, cfg.D_MODEL
+        dh = D // H
+        B = len(alive)
+        S = len(alive[0][0])  # lockstep invariant: alive seqs share length
+        store = kv["store"]
+        last = np.array([b[0][-1] for b in alive], dtype=np.int64)
+        x = self.dec_emb[last][:, None, :] + self._pos_row(S - 1)[None, None]
+        parents = [store.get(tuple(b[0][:-1])) for b in alive]
+        new_store: dict = {}
+        new_rows: list[list] = [[] for _ in range(B)]
+        scale = np.sqrt(dh)
+        for li, ly in enumerate(self.dec_layers):
+            # self-attention: project ONLY the new row, attend over the
+            # cached rows + itself (the causal mask's -1e9 zeroes future
+            # lanes exactly in the full forward, so "attend everything
+            # cached" is the same computation); fused [q|k|v] GEMM
+            qkv = (x @ kv["qkv"][li]).reshape(B, 1, 3, H, dh)
+            qh = qkv[:, :, 0].transpose(0, 2, 1, 3)
+            kh = qkv[:, :, 1].transpose(0, 2, 1, 3)
+            vh = qkv[:, :, 2].transpose(0, 2, 1, 3)
+            if parents[0] is None:  # S == 1: no cached rows yet
+                K, V = kh, vh
+            else:
+                K = np.concatenate(
+                    [np.stack([p[li][0] for p in parents]), kh], axis=2
+                )
+                V = np.concatenate(
+                    [np.stack([p[li][1] for p in parents]), vh], axis=2
+                )
+            for b in range(B):
+                new_rows[b].append((K[b], V[b]))
+            att = qh @ K.transpose(0, 1, 3, 2) / scale
+            a = softmax(att) @ V
+            a = a.transpose(0, 2, 1, 3).reshape(B, 1, D) @ ly["so"]
+            x = layer_norm(x + a, ly["g1"], ly["b1"])
+            # cross-attention over the per-decode constant K/V (broadcast
+            # matmul == materialized repeat, bit-equal)
+            ckh, cvh = kv["cross"][li]
+            q2 = (x @ ly["cq"]).reshape(B, 1, H, dh).transpose(0, 2, 1, 3)
+            att2 = q2 @ ckh.transpose(0, 1, 3, 2) / scale
+            c = softmax(att2) @ cvh
+            c = c.transpose(0, 2, 1, 3).reshape(B, 1, D) @ ly["co"]
+            x = layer_norm(x + c, ly["g2"], ly["b2"])
+            ff = np.maximum(x @ ly["w1"] + ly["bf1"], 0.0) @ ly["w2"] + ly["bf2"]
+            x = layer_norm(x + ff, ly["g3"], ly["b3"])
+        for b, (seq, *_rest) in enumerate(alive):
+            new_store[tuple(seq)] = new_rows[b]
+        kv["store"] = new_store  # children look up parents next step
+        logits = x @ self.lm_head[0] + self.lm_head[1]
+        return log_softmax(logits[:, 0])
+
     def _len_cap(self, ctc_len: int) -> int:
         """CTC length estimate caps decoder steps (model.py:415-425)."""
         return min(
@@ -517,6 +623,7 @@ class NumpyKiriModel:
         mem: np.ndarray,
         scorer: "CtcPrefixScorer | None",
         beam: int,
+        kv: dict | None = None,
     ) -> list[tuple[list[int], float, float, bool]]:
         """One beam expansion + re-sort (the loop body of model.py:440-600).
         Beam tuples are (seq, fused_score, decoder_only_logp, done) —
@@ -524,15 +631,20 @@ class NumpyKiriModel:
         fusion bonuses. CTC-fusion increments come from the per-decode
         CtcPrefixScorer (dec ids -> ctc ids: dec d>=3 maps to raw d-3
         maps to ctc d-1), batched across the step's candidates — same
-        scores as per-candidate full DP, one frame sweep."""
+        scores as per-candidate full DP, one frame sweep. ``kv``: the
+        incremental K/V decode context from _beam_setup (None = full
+        teacher-forced re-forward, kept as the law-test reference)."""
         cfg = self.cfg
         eos = self.tok.DEC_EOS
         unk_dec = self.tok.unk_id + 3
 
         alive = [b for b in beams if not b[3]]
-        ids = np.array([b[0] for b in alive], dtype=np.int64)
-        logits = self._decode_step(ids, np.repeat(mem, len(alive), axis=0))
-        logp = log_softmax(logits[:, -1])
+        if kv is not None:
+            logp = self._advance_logits_kv(alive, kv)
+        else:
+            ids = np.array([b[0] for b in alive], dtype=np.int64)
+            logits = self._decode_step(ids, np.repeat(mem, len(alive), axis=0))
+            logp = log_softmax(logits[:, -1])
         cand: list[tuple[list[int], float, float, bool]] = [
             b for b in beams if b[3]
         ]
@@ -583,6 +695,7 @@ class NumpyKiriModel:
         early exit when all beams emit EOS (model.py:390-600). beam=1
         degenerates to greedy decode (M3)."""
         beam, mem, max_len, scorer, ctc_text = self._beam_setup(mem_row, beam)
+        kv = {"cross": self._cross_kv(mem), "qkv": self._qkv_cat(), "store": {}}
         bos = self.tok.DEC_BOS
         beams: list[tuple[list[int], float, float, bool]] = [
             ([bos], 0.0, 0.0, False)
@@ -590,7 +703,7 @@ class NumpyKiriModel:
         for _ in range(max_len):
             if all(done for *_, done in beams):
                 break  # early exit (model.py:444-445)
-            beams = self._beam_advance(beams, mem, scorer, beam)
+            beams = self._beam_advance(beams, mem, scorer, beam, kv=kv)
 
         best = self._final_best(beams, mem, scorer, ctc_text)
         seq = np.array(best[0][1:], dtype=np.int64)
@@ -609,6 +722,7 @@ class NumpyKiriModel:
         extension of the previous one — the event a downstream sink must
         REPLACE on, not append."""
         beam, mem, max_len, ctc_logp, ctc_text = self._beam_setup(mem_row, beam)
+        kv = {"cross": self._cross_kv(mem), "qkv": self._qkv_cat(), "store": {}}
         bos = self.tok.DEC_BOS
         beams: list[tuple[list[int], float, float, bool]] = [
             ([bos], 0.0, 0.0, False)
@@ -616,7 +730,7 @@ class NumpyKiriModel:
         prev_text = ""
         step = 0
         while step < max_len and not all(done for *_, done in beams):
-            beams = self._beam_advance(beams, mem, ctc_logp, beam)
+            beams = self._beam_advance(beams, mem, ctc_logp, beam, kv=kv)
             step += 1
             loop_done = all(done for *_, done in beams) or step >= max_len
             best = (

@@ -166,36 +166,40 @@ class CtcPrefixScorer:
             B = len(todo)
             keys = list(todo)
             labels = np.array([k[-1] for k in keys], dtype=np.int64)
-            PB = np.stack([self._memo[k[:-1]][0][0] for k in keys])
+            # (T, B) layout: the frame sweep walks contiguous rows, and
+            # out= buffers kill per-iteration allocation — this loop is
+            # the beam hot path's hot path.
+            PB = np.stack([self._memo[k[:-1]][0][0] for k in keys], axis=1)
             root = np.array([self._memo[k[:-1]][0][1] is None for k in keys])
+            neg = np.full(T, -np.inf)
+            # PL pre-masked to -inf where the skip transition is illegal:
+            # logaddexp(x, -inf) == x exactly, so one unconditional
+            # logaddexp replaces the old where(skip, ...) — same
+            # association order, bit-identical results
             PL = np.stack([
                 self._memo[k[:-1]][0][1]
-                if self._memo[k[:-1]][0][1] is not None
-                else np.full(T, -np.inf)
+                if (self._memo[k[:-1]][0][1] is not None
+                    and k[-1] != self._memo[k[:-1]][0][2])
+                else neg
                 for k in keys
-            ])
-            skip = np.array([
-                self._memo[k[:-1]][0][1] is not None
-                and k[-1] != self._memo[k[:-1]][0][2]
-                for k in keys
-            ])
-            NL = np.full((B, T), -np.inf)
-            NB = np.full((B, T), -np.inf)
+            ], axis=1)
+            NL = np.full((T, B), -np.inf)
+            NB = np.full((T, B), -np.inf)
             lpl = lp[:, labels]  # (T, B)
-            NL[root, 0] = lpl[0][root]
+            lpb = lp[:, blank]  # (T,)
+            NL[0][root] = lpl[0][root]
+            buf = np.empty(B)
             for t in range(1, T):
-                best = np.logaddexp(NL[:, t - 1], PB[:, t - 1])
-                best = np.where(
-                    skip, np.logaddexp(best, PL[:, t - 1]), best
-                )
-                NL[:, t] = best + lpl[t]
-                NB[:, t] = np.logaddexp(NB[:, t - 1], NL[:, t - 1]) \
-                    + lp[t, blank]
-            ends = np.logaddexp(NB[:, T - 1], NL[:, T - 1]) if T else \
+                np.logaddexp(NL[t - 1], PB[t - 1], out=buf)
+                np.logaddexp(buf, PL[t - 1], out=buf)
+                np.add(buf, lpl[t], out=NL[t])
+                np.logaddexp(NB[t - 1], NL[t - 1], out=buf)
+                np.add(buf, lpb[t], out=NB[t])
+            ends = np.logaddexp(NB[T - 1], NL[T - 1]) if T else \
                 np.full(B, -np.inf)
             for i, k in enumerate(keys):
-                self._memo[k] = ((NB[i], NL[i], int(labels[i])),
-                                 float(ends[i]))
+                self._memo[k] = ((NB[:, i].copy(), NL[:, i].copy(),
+                                  int(labels[i])), float(ends[i]))
         return [self.score(k) for k in targets]
 
     def _extend(self, state, label: int):

@@ -393,6 +393,49 @@ def test_ctc_rescore_gamma_bounds_beam_by_ctc_on_ood_text():
     assert raw_beam_misses >= 0
 
 
+def test_beam_kv_cache_matches_full_forward():
+    """Law (round 6): the incremental K/V decode path (per-beam
+    self-attention caches + per-decode cross K/V + fused QKV GEMM)
+    produces the SAME texts as the full teacher-forced re-forward, with
+    confidences agreeing to ~1e-12. Bit-parity is deliberately NOT the
+    contract: BLAS m-blocking is not row-stable, so even the full
+    forward's bits depend on the alive-beam count; text + near-exact
+    confidence is the meaningful invariant, and the extraction oracles
+    pin end-to-end exactness."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from kiri_ocr_spark.operators.model import load_model
+    from kiri_ocr_spark.operators.train import charset_coverage_lines, render_crop
+
+    path = os.path.join(os.path.dirname(__file__), "..", "models", "trained_full.npz")
+    if not os.path.exists(path):
+        pytest.skip("trained artifact not built")
+    model = load_model(path)
+
+    def beam_decode_full(mem_row):
+        beam, mem, max_len, scorer, ctc_text = model._beam_setup(mem_row, None)
+        beams = [([model.tok.DEC_BOS], 0.0, 0.0, False)]
+        for _ in range(max_len):
+            if all(done for *_, done in beams):
+                break
+            beams = model._beam_advance(beams, mem, scorer, beam, kv=None)
+        best = model._final_best(beams, mem, scorer, ctc_text)
+        seq = np.array(best[0][1:], dtype=np.int64)
+        conf = float(np.clip(np.exp(best[2] / max(len(seq), 1)), 0.0, 1.0))
+        return model.tok.decode_dec(seq), conf
+
+    for line in charset_coverage_lines(10, seed=20260819) + ["hello world"]:
+        _, crop, _ = render_crop(line, model.tok)
+        mem = model.encode(crop[None].astype(np.float32), fp32=True)[0]
+        kv_text, kv_conf = model.beam_decode(mem)
+        f_text, f_conf = beam_decode_full(mem)
+        assert kv_text == f_text
+        assert abs(kv_conf - f_conf) < 1e-12
+
+
 def test_decode_crops_memo_equals_plain_chunked_decode():
     """Round-6 memo: content-addressed per-partition decode memo returns
     exactly the plain ENCODE_CHUNK-stacked decode — texts AND confidences
