@@ -72,6 +72,12 @@ spark.stop()
 STAGES = {
     "trained_ctc_decode": "q_model_decode_trained",
     "neural_detect_extract": "q_extract_spans_db",
+    # round 6 second half: the beam ACCURACY mode through full assembled
+    # extraction — Python-dispatch/compute-dense per line (no shared
+    # memory-bandwidth pressure like the CTC GEMM path), so nominal
+    # should be the binding view; the CTC-kernel envelope is published
+    # beside it as context like every other stage
+    "beam_extract": "q_extract_spans_beam",
 }
 
 
