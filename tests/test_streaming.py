@@ -74,6 +74,30 @@ def test_stream_extract_db_detector_equals_batch(spark, fixture_dirs, tmp_path):
     )
 
 
+def test_stream_extract_beam_recognizer_equals_batch(spark, fixture_dirs, tmp_path):
+    """The ACCURACY mode streams too (round 6): recognizer='beam' flows
+    through stream_extract -> extract_flat, so a micro-batched run with
+    per-line beam decode (incremental KV kernel) must equal the batch
+    extract_spans_beam plan row-for-row."""
+    docs_dir, media_dir = fixture_dirs
+    media = spark.read.parquet(media_dir)
+    out = str(tmp_path / "out_beam")
+    ckpt = str(tmp_path / "ckpt_beam")
+
+    q = stream_extract(spark, docs_dir, media, out, ckpt, recognizer="beam")
+    assert q.awaitTermination(TIMEOUT_S)
+
+    got = spark.read.parquet(out).drop("batch_id")
+    want = extract_flat(
+        spark.read.parquet(docs_dir), media, broadcast_media=True,
+        recognizer="beam",
+    )
+    cols = ["doc_id", "ord", "kind", "text", "media_ref"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+
+
 def test_stream_extract_resume_is_exactly_once(spark, fixture_dirs, tmp_path):
     """Restarting a finished availableNow query from its checkpoint must
     not reprocess or duplicate anything."""
