@@ -50,6 +50,15 @@ flank) at a gentler lr:
         models/trained_full_s5 3000 2000 3e-5 1000 4000 4000
     python scripts/charset_finetune.py models/trained_full_s5c 2 \
         models/trained_full_s5b 3000 2000 2e-5 1000 2000 4000 4000
+The chain continues past hand-designed families with HARD-EXAMPLE
+MINING (scripts/stage5e_mine.py + scripts/stage5e_finetune.py): 5d
+(thinpair family, lr 2e-5) was gate-REJECTED for wobbling corpus
+exactness (models/trained_full_s5d_gate_result.json); 5e trained on
+the 49 misses mined from 30k seeded lines (coverage 4/200 -> 0/200,
+every deck 0.0); 5f repeats the loop on the shipped artifact's 124
+misses from a 121k-line sweep. Every candidate passes
+scripts/stage5_gate.py's zero-miss sweep before replacing the shipped
+artifact.
 Deterministic: fixed artifact input, seeded coverage lines, seeded
 shuffle, no dropout.
 """
