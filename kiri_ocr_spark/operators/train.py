@@ -556,6 +556,67 @@ def fixture_line_crops(sf_dir: str, max_docs: int | None = None,
     return train, heldout
 
 
+def pipeline_line_crops(sf_dir: str, max_docs: int | None = None):
+    """(line_text, crop) pairs with the DEPLOYMENT crop geometry: render
+    each media PAGE per the fixture spec (plain/inverted/tinted), PNG
+    round-trip, fused orient+binarize, `detect_lines`, then
+    pad_training_margins + resize — exactly `pipeline._ocr_batches_trained`'s
+    legacy-kernel crop code. This differs from `render_crop`'s
+    training-style margins: the stage-5f candidate regressed two sf0.1
+    lines through THESE crops while sweeping zero-miss on every
+    training-style deck, so the artifact gate must sweep BOTH geometries.
+    Returns (samples, layout_misses): samples are (line_text, crop,
+    doc_id) triples (doc_id lets trainers reuse fixture_line_crops'
+    doc_id % 7 heldout split; train() ignores element [2] when
+    align_epochs == 0); layout_misses records pages whose detected line
+    count diverges from the spec (each is a gate failure too)."""
+    import pyarrow.parquet as pq
+
+    from ..imaging.glyphs import SCALE, render_page
+    from ..imaging.png import decode_gray, encode_gray, encode_rgb
+    from .detect import (
+        detect_lines,
+        orient_and_binarize,
+        pad_training_margins,
+        resize_keep_ratio_pad,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = sorted(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    if max_docs:
+        docs = docs[:max_docs]
+    samples, layout_misses = [], []
+    for doc_id, text in docs:
+        toks = " ".join(text.split()).split(" ")
+        nt = len(toks)
+        n_media = doc_id % 3 + (16 if doc_id % 97 == 0 else 0)
+        for m in range(n_media):
+            w = [toks[(m * 3 + i) % nt] for i in range(3)]
+            lines = [w[0] + " " + w[1], w[2]] if m % 2 == 1 else [" ".join(w)]
+            page = render_page(lines, scale=SCALE, invert=(m % 3 == 2))
+            if m % 5 == 3:
+                from ..fixtures import _tint_page
+
+                blob = encode_rgb(_tint_page(page))
+            else:
+                blob = encode_gray(page)
+            gray, ink = orient_and_binarize(decode_gray(blob))
+            boxes = detect_lines(gray, ink=ink)
+            if len(boxes) != len(lines):
+                layout_misses.append((doc_id, m, len(lines), len(boxes)))
+                continue
+            for line, b in zip(lines, boxes):
+                x, y, bw, bh = (int(v) for v in b[:4])
+                samples.append((
+                    line,
+                    resize_keep_ratio_pad(
+                        pad_training_margins(gray[y : y + bh, x : x + bw])
+                    ),
+                    doc_id,
+                ))
+    return samples, layout_misses
+
+
 # --------------------------------------------------------------------------
 # optimizer + training loop
 # --------------------------------------------------------------------------

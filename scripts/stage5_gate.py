@@ -5,6 +5,10 @@ swap it into models/trained_full only on a clean sweep.
 Gate (all must hold, evaluated with the CURRENT decode code — the
 training process may predate it):
   1. corpus CTC zero-miss over every fixture media line at sf0.001/0.01/0.1
+     — in BOTH crop geometries: training-style rendered crops AND the
+     deployment kernel's detect-based crops (pipeline_line_crops; added
+     after stage 5f regressed two sf0.1 lines visible only through the
+     latter)
   2. coverage held-out (200 lines, independent seed) CTC zero-miss —
      the round-5 artifact's 4/200 residual misses are the target
   3. pattern held-out CTC zero-miss + charset-oracle ids (%17==0)
@@ -91,6 +95,25 @@ def main() -> int:
         corpus_held_all += he
         if misses:
             result["failures"].append(f"corpus {d}: {len(misses)} misses")
+
+    # DEPLOYMENT-geometry corpus sweep (added after stage 5f): the same
+    # lines through the trained kernel's detect-based crops. Stage 5f
+    # passed every training-style deck yet regressed two sf0.1 lines
+    # through these crops — caught only by the post-swap oracle run;
+    # this closes that blind spot at gate time.
+    for d in SF_DIRS:
+        pipe_samples, layout_misses = T.pipeline_line_crops(d)
+        cer_p, miss_p = _cer_and_misses(model, pipe_samples)
+        result[f"corpus_pipeline_{os.path.basename(d)}"] = [
+            round(cer_p, 6), len(miss_p), len(layout_misses)
+        ]
+        if miss_p or layout_misses:
+            result[f"corpus_pipeline_misses_{os.path.basename(d)}"] = \
+                [(a, b) for a, b in miss_p][:10]
+            result["failures"].append(
+                f"pipeline-crop corpus {d}: {len(miss_p)} decode + "
+                f"{len(layout_misses)} layout misses"
+            )
 
     _, cov_held = T.charset_coverage_crops(model.tok, n_train=0)
     cer_cov, miss_cov = _cer_and_misses(model, cov_held)

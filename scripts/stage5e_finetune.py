@@ -117,6 +117,16 @@ def main() -> int:
         tr, he = T.fixture_line_crops(d, tok=model.tok)
         corpus_train += tr
         corpus_held += he
+    # DEPLOYMENT-geometry anchor (added after stage 5f): detect-based
+    # crops of the corpus lines, strided x3 as keep-alive, split by the
+    # same doc_id % 7 rule — stage 5f stayed zero-miss on every
+    # training-style deck yet regressed two sf0.1 lines through the
+    # kernel's detect crops; training must see that geometry too.
+    pipe_train, pipe_held = [], []
+    for d in SF_DIRS:
+        ps, _ = T.pipeline_line_crops(d)
+        pipe_held += [s for s in ps if s[2] % 7 == 0]
+        pipe_train += [s for s in ps if s[2] % 7 != 0][::3]
     cov_train, cov_held = T.charset_coverage_crops(model.tok, n_train=1500)
     pat_train, pat_held = T.charset_pattern_crops(model.tok, n_train=500)
     adj_train, adj_held = T.charset_adjacency_crops(model.tok, n_train=1000)
@@ -131,13 +141,15 @@ def main() -> int:
     report = {
         "in_prefix": in_prefix, "mined_json": mined_json,
         "mined_misses": mined["n_misses"], "mined_train": len(mined_train),
-        "corpus_train": len(corpus_train), "epochs": epochs, "lr": lr,
+        "corpus_train": len(corpus_train),
+        "pipeline_train": len(pipe_train), "epochs": epochs, "lr": lr,
         "oversample": oversample,
     }
     evals = [
         ("corpus", corpus_held), ("coverage", cov_held), ("pattern", pat_held),
         ("adjacency", adj_held), ("interior", int_held), ("trigram", tri_held),
         ("thinpair", thp_held), ("minedprobe", probe_held),
+        ("pipelineheld", pipe_held),
     ]
     for name, held in evals:
         report[f"pre_cer_ctc_{name}"] = round(
@@ -148,8 +160,8 @@ def main() -> int:
 
     hist = T.train(
         model,
-        corpus_train + mined_train + cov_train + pat_train + adj_train
-        + int_train + tri_train + thp_train,
+        corpus_train + pipe_train + mined_train + cov_train + pat_train
+        + adj_train + int_train + tri_train + thp_train,
         epochs=epochs, batch_size=16, lr=lr, train_stem=True,
         align_epochs=0, lr_decay_at=(0.6,),
         val_samples=corpus_held + cov_held, val_every=2,
