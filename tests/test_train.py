@@ -401,3 +401,44 @@ def test_charset_thinpair_lines_enumerate_all_pairs():
     assert ("i", "(") in seen
     held = charset_thinpair_lines(200, 128)
     assert not set(t1) & set(held)
+
+
+def test_pipeline_line_crops_match_spec_and_decode_exactly():
+    """The gate's deployment-geometry sweep (added after the stage-5f
+    rejection): pipeline_line_crops must reproduce the trained kernel's
+    crop code faithfully — every fixture media line detected (zero
+    layout misses), texts matching the media spec, and the SHIPPED
+    artifact decoding every crop exactly (the gate's PASS condition on
+    the current artifact at the smallest sf)."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from kiri_ocr_spark.operators import train as T
+
+    samples, layout_misses = T.pipeline_line_crops("/root/testdata/sf0.001")
+    assert layout_misses == []
+    assert len(samples) > 500  # sf0.001 has 809 media lines
+    # spec agreement: same (multiset of) line texts as the training-
+    # geometry crop builder over the same sf dir
+    tr, he = T.fixture_line_crops("/root/testdata/sf0.001")
+    assert sorted(s[0] for s in samples) == sorted(s[0] for s in tr + he)
+    # doc_id rides along for the trainer's heldout split
+    assert all(isinstance(s[2], int) for s in samples)
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "models", "trained_full.npz"
+    )
+    if not os.path.exists(path):
+        pytest.skip("trained artifact not built")
+    from kiri_ocr_spark.operators.model import ENCODE_CHUNK, load_model
+
+    model = load_model(path)
+    crops = [s[1] for s in samples]
+    for i in range(0, len(crops), ENCODE_CHUNK):
+        chunk = np.stack(crops[i : i + ENCODE_CHUNK]).astype(np.float32)
+        for j, (t, _) in enumerate(
+            model.ctc_greedy(model.encode(chunk, fp32=True))
+        ):
+            assert t == samples[i + j][0]
