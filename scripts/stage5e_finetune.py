@@ -81,6 +81,10 @@ def main() -> int:
     epochs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     lr = float(sys.argv[5]) if len(sys.argv) > 5 else 1e-5
     oversample = int(sys.argv[6]) if len(sys.argv) > 6 else 30
+    # deployment-geometry keep-alive stride: 3 keeps epochs fast; 1 takes
+    # the FULL train split — stage 5g (stride 3) still missed one sf0.1
+    # pipeline crop that the stride had skipped
+    pipe_stride = int(sys.argv[7]) if len(sys.argv) > 7 else 3
 
     from kiri_ocr_spark.operators import train as T
     from kiri_ocr_spark.operators.model import load_model, save_model
@@ -126,7 +130,7 @@ def main() -> int:
     for d in SF_DIRS:
         ps, _ = T.pipeline_line_crops(d)
         pipe_held += [s for s in ps if s[2] % 7 == 0]
-        pipe_train += [s for s in ps if s[2] % 7 != 0][::3]
+        pipe_train += [s for s in ps if s[2] % 7 != 0][::pipe_stride]
     cov_train, cov_held = T.charset_coverage_crops(model.tok, n_train=1500)
     pat_train, pat_held = T.charset_pattern_crops(model.tok, n_train=500)
     adj_train, adj_held = T.charset_adjacency_crops(model.tok, n_train=1000)
