@@ -101,6 +101,7 @@ def main() -> int:
     # passed every training-style deck yet regressed two sf0.1 lines
     # through these crops — caught only by the post-swap oracle run;
     # this closes that blind spot at gate time.
+    pipe_beam_miss, pipe_beam_total = 0, 0
     for d in SF_DIRS:
         pipe_samples, layout_misses = T.pipeline_line_crops(d)
         cer_p, miss_p = _cer_and_misses(model, pipe_samples)
@@ -114,6 +115,22 @@ def main() -> int:
                 f"pipeline-crop corpus {d}: {len(miss_p)} decode + "
                 f"{len(layout_misses)} layout misses"
             )
+        # the same lesson applied to the ACCURACY mode: extract_spans_beam
+        # beam-decodes THESE crops at table scope, so the swap gate sweeps
+        # beam over the deployment-geometry held-out split too (shipped
+        # artifact baseline: 0/1384)
+        for s in (x for x in pipe_samples if x[2] % 7 == 0):
+            mem = model.encode(
+                np.stack([s[1]]).astype(np.float32), fp32=True
+            )[0]
+            if model.beam_decode(mem)[0] != s[0]:
+                pipe_beam_miss += 1
+            pipe_beam_total += 1
+    result["pipeline_beam_held"] = [pipe_beam_miss, pipe_beam_total]
+    if pipe_beam_miss:
+        result["failures"].append(
+            f"pipeline-crop beam held-out: {pipe_beam_miss}/{pipe_beam_total}"
+        )
 
     _, cov_held = T.charset_coverage_crops(model.tok, n_train=0)
     cer_cov, miss_cov = _cer_and_misses(model, cov_held)
