@@ -70,22 +70,34 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
         return pts
     # lexicographic sort (x, then y)
     order = np.lexsort((pts[:, 1], pts[:, 0]))
-    pts = pts[order]
+    # the chain walks per-point: python floats do the same IEEE-double
+    # arithmetic as numpy scalars at ~8x less per-element overhead
+    # (profiled: the numpy-scalar chain was the db/craft postprocess
+    # hot spot); identical products/differences -> identical hull
+    xs = pts[order, 0].tolist()
+    ys = pts[order, 1].tolist()
+    n = len(xs)
 
-    def cross(o, a, b):
-        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+    def chain(idx_iter):
+        hx: list[float] = []
+        hy: list[float] = []
+        for i in idx_iter:
+            px, py = xs[i], ys[i]
+            while len(hx) >= 2 and (
+                (hx[-1] - hx[-2]) * (py - hy[-2])
+                - (hy[-1] - hy[-2]) * (px - hx[-2])
+            ) <= 0:
+                hx.pop()
+                hy.pop()
+            hx.append(px)
+            hy.append(py)
+        return hx, hy
 
-    lower: list[np.ndarray] = []
-    for p in pts:
-        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
-            lower.pop()
-        lower.append(p)
-    upper: list[np.ndarray] = []
-    for p in pts[::-1]:
-        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
-            upper.pop()
-        upper.append(p)
-    return np.array(lower[:-1] + upper[:-1])
+    lx, ly = chain(range(n))
+    ux, uy = chain(range(n - 1, -1, -1))
+    return np.array(
+        [lx[:-1] + ux[:-1], ly[:-1] + uy[:-1]], dtype=np.float64
+    ).T
 
 
 def min_area_rect(points: np.ndarray) -> tuple[tuple[float, float], tuple[float, float], float]:
@@ -108,17 +120,27 @@ def min_area_rect(points: np.ndarray) -> tuple[tuple[float, float], tuple[float,
         )
     edges = np.roll(hull, -1, axis=0) - hull
     angles = np.arctan2(edges[:, 1], edges[:, 0])
-    best = None
-    for theta in np.unique(np.mod(angles, np.pi / 2)):
-        c, s = np.cos(theta), np.sin(theta)
-        rot = hull @ np.array([[c, -s], [s, c]])
-        x0, y0 = rot.min(axis=0)
-        x1, y1 = rot.max(axis=0)
-        area = (x1 - x0) * (y1 - y0)
-        if best is None or area < best[0]:
-            best = (area, theta, x0, y0, x1, y1)
-    _, theta, x0, y0, x1, y1 = best
-    c, s = np.cos(theta), np.sin(theta)
+    thetas = np.unique(np.mod(angles, np.pi / 2))
+    # one batched sweep over the candidate angles instead of a python
+    # loop of tiny matmuls: rots[k] == hull @ [[c,-s],[s,c]] elementwise
+    # (each entry is the same two-term a*c+b*s product), and argmin
+    # picks the FIRST minimal area over the same sorted theta order the
+    # loop walked — bit-identical selection
+    cs, sn = np.cos(thetas), np.sin(thetas)
+    R = np.empty((len(thetas), 2, 2))
+    R[:, 0, 0] = cs
+    R[:, 0, 1] = -sn
+    R[:, 1, 0] = sn
+    R[:, 1, 1] = cs
+    rots = hull[None] @ R  # (K, n, 2)
+    lo = rots.min(axis=1)
+    hi = rots.max(axis=1)
+    areas = (hi[:, 0] - lo[:, 0]) * (hi[:, 1] - lo[:, 1])
+    k = int(np.argmin(areas))
+    theta = float(thetas[k])
+    x0, y0 = lo[k]
+    x1, y1 = hi[k]
+    c, s = float(cs[k]), float(sn[k])
     # the forward map above is p_rot = R(-theta) @ p_img; invert it to put
     # the rect center back in image coordinates, and report +theta so that
     # box_points (which rotates by +angle) round-trips the corners exactly

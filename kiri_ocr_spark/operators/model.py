@@ -197,6 +197,21 @@ def pos_enc_2d(h: int, w: int, d: int) -> np.ndarray:
     return pe
 
 
+# deterministic pure function of (h, w, d) -> cache the dtype-cast result
+# instead of recomputing ~60k sin/cos/exp per encode call (guide §1.2
+# "per-task work"); values are bitwise the ones pos_enc_2d returns
+_POS_ENC_2D_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _pos_enc_2d_cached(h: int, w: int, d: int, dt) -> np.ndarray:
+    key = (h, w, d, np.dtype(dt).str)
+    hit = _POS_ENC_2D_CACHE.get(key)
+    if hit is None:
+        hit = pos_enc_2d(h, w, d).astype(dt, copy=False)
+        _POS_ENC_2D_CACHE[key] = hit
+    return hit
+
+
 # --- model ------------------------------------------------------------------
 
 # Stacked-forward batch size for the encode hot path. Layer-1 im2col is
@@ -205,6 +220,20 @@ def pos_enc_2d(h: int, w: int, d: int) -> np.ndarray:
 # read 7.2 ms/crop at B=4 vs 8.9 at B=8, 9.9 at B=16, 14.5 at B=64 —
 # the L3 working set, not batching efficiency, sets the optimum.
 ENCODE_CHUNK = 4
+
+
+def _softmax_inplace(x: np.ndarray) -> np.ndarray:
+    """softmax() with identical bits (same op sequence: subtract rowmax,
+    exp, divide by rowsum) but computed in place on a caller-owned
+    temporary — attention matrices are the encode path's largest
+    intermediates and the extra allocations/passes were measured at ~40%
+    of softmax wall (guide §1.2 per-task work)."""
+    m = x.max(axis=-1, keepdims=True)
+    np.subtract(x, m, out=x)
+    np.exp(x, out=x)
+    s = x.sum(axis=-1, keepdims=True)
+    np.divide(x, s, out=x)
+    return x
 
 
 def _mha(q, k, v, n_heads, wq, wk, wv, wo, mask=None):
@@ -221,7 +250,7 @@ def _mha(q, k, v, n_heads, wq, wk, wv, wo, mask=None):
     att = qh @ kh.transpose(0, 1, 3, 2) / np.sqrt(dh)
     if mask is not None:
         att = att + mask
-    out = softmax(att) @ vh  # [B, H, Tq, dh]
+    out = _softmax_inplace(att) @ vh  # [B, H, Tq, dh]
     out = out.transpose(0, 2, 1, 3).reshape(B, Tq, D)
     return out @ wo
 
@@ -335,6 +364,75 @@ class NumpyKiriModel:
         )
         return np.maximum(out.reshape(B, oh, ow, -1), 0.0)  # ReLU
 
+    # first pure-pad output column of each stem layer for content width
+    # wc under strides (2,2),(2,2),(2,1): a layer-L output column is
+    # "pure pad" when every 3x3 tap reads only all-pad input columns
+    def _pad_cols(self, wc: int) -> tuple[int, int, int]:
+        p0 = (wc + 2) // 2       # ceil((wc+1)/2): taps 2o-1.. >= wc
+        p1 = (p0 + 2) // 2       # ceil((p0+1)/2)
+        p2 = p1 + 1              # stride-1 layer: taps o-1.. >= p1
+        return p0, p1, p2
+
+    def _pad_stem(self, h: int, W: int, dt) -> np.ndarray:
+        """Stem output of an all-pad(128) canvas [1, IMG_H, W] — computed
+        once per (width, dtype) and cached. Every column of this output
+        that the splice below copies is bitwise what the full per-crop
+        forward would have produced there (row-stable GEMM: a pure-pad
+        im2col row's bits do not depend on its row index or the GEMM's
+        m — verified empirically for this BLAS in both dtypes)."""
+        if not hasattr(self, "_pad_stem_cache"):
+            self._pad_stem_cache = {}
+        key = (h, W, np.dtype(dt).str)
+        hit = self._pad_stem_cache.get(key)
+        if hit is None:
+            x = np.full((1, h, W), 128, dtype=np.uint8)
+            x = x.astype(dt) / 255.0
+            x = (x - 0.5) / 0.5
+            x = x[..., None]
+            for layer in self.convs:
+                x = self._conv(x, layer)
+            hit = x
+            self._pad_stem_cache[key] = hit
+        return hit
+
+    def _stem_forward(self, x: np.ndarray, images: np.ndarray) -> np.ndarray:
+        """Conv stem with the bit-exact pad-splice fast path: recognizer
+        inputs are left-aligned content right-padded with 128
+        (resize_keep_ratio_pad), and the stem is local (3x3 convs), so
+        every output column whose receptive field sits wholly inside the
+        pad region is a constant column. Compute the stem only over the
+        content slice (+margin) and splice the precomputed all-pad
+        canvas columns for the rest — bitwise identical to the full
+        forward (slice-width/batch row-stability verified for this BLAS,
+        fp32 + fp64), ~2.7x less stem work at the fixture's median
+        content width. Guide §1.2: per-task work, exploiting problem
+        knowledge (trailing pad) the kernel can prove from the input."""
+        std_stem = len(self.convs) == 3 and [
+            tuple(c["stride"]) for c in self.convs
+        ] == [(2, 2), (2, 2), (2, 1)]
+        W = x.shape[2]
+        if std_stem and W % 4 == 0 and W >= 64:
+            # last column carrying any non-128 pixel, over the whole batch
+            nz = np.flatnonzero((images != 128).any(axis=(0, 1)))
+            wc = int(nz[-1]) + 1 if len(nz) else 0
+            W_in = min(W, 4 * ((wc + 19) // 4))
+            p0, p1, p2 = self._pad_cols(wc)
+            T = W // 4
+            S = W_in // 4 - 1  # slice's last stem column is edge-poisoned
+            if W_in < W and S >= p2 and p1 <= T - 3:
+                xs = x[:, :, :W_in]
+                for layer in self.convs:
+                    xs = self._conv(xs, layer)
+                pad = self._pad_stem(images.shape[1], W, x.dtype.type)
+                B, oh, _, D = xs.shape
+                out = np.empty((B, oh, T, D), dtype=xs.dtype)
+                out[:, :, :S] = xs[:, :, :S]
+                out[:, :, S:] = pad[:, :, S:]
+                return out
+        for layer in self.convs:
+            x = self._conv(x, layer)
+        return x
+
     def encode(self, images: np.ndarray, fp32: bool = False) -> np.ndarray:
         """[B, IMG_H, IMG_W] uint8/float -> [B, T, D] memory (M1).
         T = IMG_W / 4 after the stem's width reduction.
@@ -351,18 +449,22 @@ class NumpyKiriModel:
         x = images.astype(dt) / 255.0
         x = (x - 0.5) / 0.5  # model.py:334-339 normalize (F18)
         x = x[..., None]
-        for layer in self.convs:
-            x = self._conv(x, layer)
+        x = self._stem_forward(x, images)
         B, H, W, D = x.shape
-        x = x + pos_enc_2d(H, W, D)[None].astype(dt, copy=False)
+        x = x + _pos_enc_2d_cached(H, W, D, dt)[None]
         mem = x.mean(axis=1)  # adaptive average pool height -> 1 x W
         for ly in self.enc_layers:
             a = _mha(mem, mem, mem, self.cfg.N_HEADS,
                      self._w(ly["wq"], dt), self._w(ly["wk"], dt),
                      self._w(ly["wv"], dt), self._w(ly["wo"], dt))
             mem = layer_norm(mem + a, self._w(ly["g1"], dt), self._w(ly["b1"], dt))
-            ff = (np.maximum(mem @ self._w(ly["w1"], dt) + self._w(ly["bf1"], dt), 0.0)
-                  @ self._w(ly["w2"], dt) + self._w(ly["bf2"], dt))
+            # out=-form of maximum(mem@w1 + bf1, 0) @ w2 + bf2: identical
+            # bits (same ops, same order), no intermediate allocations
+            h = mem @ self._w(ly["w1"], dt)
+            np.add(h, self._w(ly["bf1"], dt), out=h)
+            np.maximum(h, 0.0, out=h)
+            ff = h @ self._w(ly["w2"], dt)
+            np.add(ff, self._w(ly["bf2"], dt), out=ff)
             mem = layer_norm(mem + ff, self._w(ly["g2"], dt), self._w(ly["b2"], dt))
         return layer_norm(mem, self._w(self.enc_ln[0], dt), self._w(self.enc_ln[1], dt))
 
@@ -998,6 +1100,17 @@ def decode_crops_memo(
         if k not in memo and k not in first_of:
             first_of[k] = i
     miss = list(first_of.values())
+    # width-bucket the misses: encode's pad-splice stem slices each
+    # stacked chunk at the chunk's WIDEST member, so sorting misses by
+    # content width keeps chunks homogeneous (one wide line no longer
+    # drags three narrow ones to its slice width). Pure reordering of
+    # independent per-crop decodes — results land by key, order-free.
+    if len(miss) > ENCODE_CHUNK:
+        def _content_w(c: np.ndarray) -> int:
+            nz = np.flatnonzero((c != 128).any(axis=0))
+            return int(nz[-1]) + 1 if len(nz) else 0
+
+        miss.sort(key=lambda i: _content_w(crops[i]))
     for j in range(0, len(miss), ENCODE_CHUNK):
         idxs = miss[j : j + ENCODE_CHUNK]
         chunk = np.stack([crops[i] for i in idxs]).astype(np.float32)
