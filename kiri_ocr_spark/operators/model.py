@@ -610,6 +610,82 @@ class NumpyKiriModel:
         logits = x @ self.lm_head[0] + self.lm_head[1]
         return log_softmax(logits[:, 0])
 
+    def _advance_logits_kv_group(
+        self,
+        lines: list[int],
+        alive_lists: list[list],
+        states: list[dict],
+        qkv: list[np.ndarray],
+    ) -> np.ndarray:
+        """_advance_logits_kv generalized across a GROUP of lockstep
+        lines with the same alive-beam count and sequence length: the
+        per-step self-attention projections, cross-attention and FF run
+        as single batched calls over all of the group's beams instead
+        of one tiny-GEMM pass per line (profiled at 32% of beam decode
+        as per-line calls). Same math, same structure; the equality
+        contract vs the per-line path is TEXT-level + ~1e-9 confidence,
+        exactly like _advance_logits_kv's own contract vs the full
+        teacher-forced re-forward (BLAS m-blocking is not row-stable, so
+        bit parity across batch shapes was never defined). Writes each
+        alive beam's new K/V rows into its line's ``new_store``."""
+        cfg = self.cfg
+        H, D = cfg.N_HEADS, cfg.D_MODEL
+        dh = D // H
+        L = len(lines)
+        A = len(alive_lists[0])
+        B = L * A
+        S = len(alive_lists[0][0][0])
+        flat = [b for al in alive_lists for b in al]
+        last = np.array([b[0][-1] for b in flat], dtype=np.int64)
+        x = self.dec_emb[last][:, None, :] + self._pos_row(S - 1)[None, None]
+        parents = [
+            states[i]["store"].get(tuple(b[0][:-1]))
+            for i, al in zip(lines, alive_lists)
+            for b in al
+        ]
+        new_rows: list[list] = [[] for _ in range(B)]
+        scale = np.sqrt(dh)
+        for li, ly in enumerate(self.dec_layers):
+            qkv_p = (x @ qkv[li]).reshape(B, 1, 3, H, dh)
+            qh = qkv_p[:, :, 0].transpose(0, 2, 1, 3)
+            kh = qkv_p[:, :, 1].transpose(0, 2, 1, 3)
+            vh = qkv_p[:, :, 2].transpose(0, 2, 1, 3)
+            if parents[0] is None:  # S == 1: no cached rows yet
+                K, V = kh, vh
+            else:
+                K = np.concatenate(
+                    [np.stack([p[li][0] for p in parents]), kh], axis=2
+                )
+                V = np.concatenate(
+                    [np.stack([p[li][1] for p in parents]), vh], axis=2
+                )
+            for b in range(B):
+                new_rows[b].append((K[b], V[b]))
+            att = qh @ K.transpose(0, 1, 3, 2) / scale
+            a = softmax(att) @ V
+            a = a.transpose(0, 2, 1, 3).reshape(B, 1, D) @ ly["so"]
+            x = layer_norm(x + a, ly["g1"], ly["b1"])
+            # cross-attention: [L, A, H, 1, dh] @ [L, 1, H, dh, T] — the
+            # broadcast batched matmul == the per-line materialized
+            # repeat (the same law the per-line path relies on)
+            ckh = np.stack([states[i]["cross"][li][0][0] for i in lines])
+            cvh = np.stack([states[i]["cross"][li][1][0] for i in lines])
+            q2 = (x @ ly["cq"]).reshape(L, A, 1, H, dh).transpose(0, 1, 3, 2, 4)
+            att2 = q2 @ ckh[:, None].transpose(0, 1, 2, 4, 3) / scale
+            c = softmax(att2) @ cvh[:, None]
+            c = c.transpose(0, 1, 3, 2, 4).reshape(B, 1, D) @ ly["co"]
+            x = layer_norm(x + c, ly["g2"], ly["b2"])
+            ff = np.maximum(x @ ly["w1"] + ly["bf1"], 0.0) @ ly["w2"] + ly["bf2"]
+            x = layer_norm(x + ff, ly["g3"], ly["b3"])
+        idx = 0
+        for i, al in zip(lines, alive_lists):
+            ns = states[i]["new_store"]
+            for b in al:
+                ns[tuple(b[0])] = new_rows[idx]
+                idx += 1
+        logits = x @ self.lm_head[0] + self.lm_head[1]
+        return log_softmax(logits[:, 0])
+
     def _len_cap(self, ctc_len: int) -> int:
         """CTC length estimate caps decoder steps (model.py:415-425)."""
         return min(
@@ -736,10 +812,6 @@ class NumpyKiriModel:
         scores as per-candidate full DP, one frame sweep. ``kv``: the
         incremental K/V decode context from _beam_setup (None = full
         teacher-forced re-forward, kept as the law-test reference)."""
-        cfg = self.cfg
-        eos = self.tok.DEC_EOS
-        unk_dec = self.tok.unk_id + 3
-
         alive = [b for b in beams if not b[3]]
         if kv is not None:
             logp = self._advance_logits_kv(alive, kv)
@@ -747,6 +819,28 @@ class NumpyKiriModel:
             ids = np.array([b[0] for b in alive], dtype=np.int64)
             logits = self._decode_step(ids, np.repeat(mem, len(alive), axis=0))
             logp = log_softmax(logits[:, -1])
+        cand, pending = self._advance_expand(beams, alive, logp, scorer, beam)
+        if pending:
+            # one vectorized sweep for all of the step's new prefixes
+            scorer.scores_batch([nt for _, _, nt in pending if nt])
+        return self._advance_finish(cand, pending, scorer, beam)
+
+    def _advance_expand(
+        self,
+        beams: list[tuple[list[int], float, float, bool]],
+        alive: list[tuple[list[int], float, float, bool]],
+        logp: np.ndarray,
+        scorer: "CtcPrefixScorer | None",
+        beam: int,
+    ) -> tuple[list, list]:
+        """The bookkeeping half of _beam_advance (penalties, top-k,
+        candidate building) — shared verbatim by the per-line and the
+        lockstep multi-line drivers so the expansion rule has exactly
+        one implementation. Returns (candidates, pending scorer
+        extensions as (cand_idx, parent_target, new_target))."""
+        cfg = self.cfg
+        eos = self.tok.DEC_EOS
+        unk_dec = self.tok.unk_id + 3
         cand: list[tuple[list[int], float, float, bool]] = [
             b for b in beams if b[3]
         ]
@@ -776,18 +870,28 @@ class NumpyKiriModel:
                 cand.append(
                     (new_seq, new_score, dlp + float(row[t]), int(t) == eos)
                 )
-        if pending:
-            # one vectorized sweep for all of the step's new prefixes
-            scorer.scores_batch([nt for _, _, nt in pending if nt])
-            for idx, parent, new in pending:
-                ps = scorer.score(parent)
-                ns = scorer.score(new)
-                inc = cfg.CTC_FUSION_ALPHA * (
-                    (ns if np.isfinite(ns) else -1e4)
-                    - (ps if np.isfinite(ps) else -1e4)
-                )
-                seq, score, dlp, done = cand[idx]
-                cand[idx] = (seq, score + inc, dlp, done)
+        return cand, pending
+
+    def _advance_finish(
+        self,
+        cand: list,
+        pending: list,
+        scorer: "CtcPrefixScorer | None",
+        beam: int,
+    ) -> list[tuple[list[int], float, float, bool]]:
+        """Fusion-increment application + the length-tiebroken sort —
+        the tail half of _beam_advance, shared with the lockstep driver
+        (which runs the scorer sweep merged across lines first)."""
+        cfg = self.cfg
+        for idx, parent, new in pending:
+            ps = scorer.score(parent)
+            ns = scorer.score(new)
+            inc = cfg.CTC_FUSION_ALPHA * (
+                (ns if np.isfinite(ns) else -1e4)
+                - (ps if np.isfinite(ps) else -1e4)
+            )
+            seq, score, dlp, done = cand[idx]
+            cand[idx] = (seq, score + inc, dlp, done)
         cand.sort(key=lambda it: (-self._norm_score(it), len(it[0])))
         return cand[:beam]
 
@@ -811,6 +915,146 @@ class NumpyKiriModel:
         seq = np.array(best[0][1:], dtype=np.int64)
         conf = float(np.clip(np.exp(best[2] / max(len(seq), 1)), 0.0, 1.0))
         return self.tok.decode_dec(seq), conf
+
+    # lines per lockstep wave: enough to amortize per-step numpy/GEMM
+    # call overhead across lines (the win saturates by ~32), small
+    # enough to bound the resident K/V state of a wave
+    LOCKSTEP_LINES = 64
+
+    def beam_decode_batch(
+        self, mems: np.ndarray, beam: int | None = None
+    ) -> list[tuple[str, float]]:
+        """Lockstep multi-line beam search: decode N encoder memories
+        together, advancing every still-active line one step per
+        iteration so that (a) the decoder's per-step projections and
+        attention run as ONE batched call over all alive beams of all
+        active lines (_advance_logits_kv_group) and (b) every line's
+        CTC-fusion prefix extensions merge into ONE frame sweep
+        (ctc_scores_batch_multi — bit-identical to per-line sweeps).
+        The expansion rule, penalties, sort and final rescoring are the
+        exact per-line code (_advance_expand/_advance_finish/_final_best
+        are shared), applied per line; lines leave the wave at their own
+        early-exit/length-cap step. Returns [(text, conf)] in input
+        order; text-equality vs per-line beam_decode is the law-tested
+        contract (same tier as the KV cache vs the full forward)."""
+        cfg = self.cfg
+        beam = beam or cfg.BEAM
+        N = len(mems)
+        if N == 0:
+            return []
+        if N > self.LOCKSTEP_LINES:
+            out: list[tuple[str, float]] = []
+            for j in range(0, N, self.LOCKSTEP_LINES):
+                out.extend(
+                    self.beam_decode_batch(mems[j : j + self.LOCKSTEP_LINES], beam)
+                )
+            return out
+        ctc = self.ctc_greedy(mems)
+        lattices = (
+            log_softmax(self.ctc_logits(mems))
+            if cfg.CTC_FUSION_ALPHA > 0.0
+            else None
+        )
+        H, D = cfg.N_HEADS, cfg.D_MODEL
+        dh = D // H
+        T = mems.shape[1]
+        # batched per-layer cross K/V over all lines (one GEMM per layer
+        # instead of N) — per-line [1, H, T, dh] views slice out of it
+        cross_all = []
+        for ly in self.dec_layers:
+            kh = (mems @ ly["ck"]).reshape(N, T, H, dh).transpose(0, 2, 1, 3)
+            vh = (mems @ ly["cv"]).reshape(N, T, H, dh).transpose(0, 2, 1, 3)
+            cross_all.append((kh, vh))
+        qkv = self._qkv_cat()
+        bos = self.tok.DEC_BOS
+        states: list[dict] = []
+        for i in range(N):
+            ctc_text = ctc[i][0]
+            states.append(
+                {
+                    "beams": [([bos], 0.0, 0.0, False)],
+                    "scorer": (
+                        CtcPrefixScorer(lattices[i])
+                        if lattices is not None
+                        else None
+                    ),
+                    "ctc_text": ctc_text,
+                    "max_len": self._len_cap(len(ctc_text)),
+                    "cross": [
+                        (kh[i : i + 1], vh[i : i + 1]) for kh, vh in cross_all
+                    ],
+                    "store": {},
+                    "steps": 0,
+                    "result": None,
+                }
+            )
+
+        def finalize(i: int) -> None:
+            st = states[i]
+            best = self._final_best(
+                st["beams"], mems[i][None], st["scorer"], st["ctc_text"]
+            )
+            seq = np.array(best[0][1:], dtype=np.int64)
+            conf = float(np.clip(np.exp(best[2] / max(len(seq), 1)), 0.0, 1.0))
+            st["result"] = (self.tok.decode_dec(seq), conf)
+
+        active = []
+        for i in range(N):
+            if states[i]["max_len"] <= 0:  # degenerate cap: no expansion
+                finalize(i)
+            else:
+                active.append(i)
+        from .recognize import ctc_scores_batch_multi
+
+        while active:
+            groups: dict[int, list[int]] = {}
+            for i in active:
+                a = sum(1 for b in states[i]["beams"] if not b[3])
+                groups.setdefault(a, []).append(i)
+                states[i]["new_store"] = {}
+            logp_of: dict[int, np.ndarray] = {}
+            for a_cnt, lines in sorted(groups.items()):
+                alive_lists = [
+                    [b for b in states[i]["beams"] if not b[3]] for i in lines
+                ]
+                logp = self._advance_logits_kv_group(
+                    lines, alive_lists, states, qkv
+                )
+                for j, i in enumerate(lines):
+                    logp_of[i] = logp[j * a_cnt : (j + 1) * a_cnt]
+            expanded: dict[int, tuple[list, list]] = {}
+            jobs = []
+            for i in active:
+                st = states[i]
+                alive = [b for b in st["beams"] if not b[3]]
+                cand, pending = self._advance_expand(
+                    st["beams"], alive, logp_of[i], st["scorer"], beam
+                )
+                expanded[i] = (cand, pending)
+                if pending:
+                    jobs.append(
+                        (st["scorer"], [nt for _, _, nt in pending if nt])
+                    )
+            if jobs:
+                ctc_scores_batch_multi(jobs)
+            still = []
+            for i in active:
+                st = states[i]
+                cand, pending = expanded[i]
+                st["beams"] = self._advance_finish(
+                    cand, pending, st["scorer"], beam
+                )
+                st["store"] = st.pop("new_store")
+                st["steps"] += 1
+                if (
+                    all(b[3] for b in st["beams"])
+                    or st["steps"] >= st["max_len"]
+                ):
+                    finalize(i)
+                else:
+                    still.append(i)
+            active = still
+        return [st["result"] for st in states]
 
     def beam_decode_steps(self, mem_row: np.ndarray, beam: int | None = None):
         """Streaming beam decode (reference model.py:949-1153
@@ -1111,21 +1355,35 @@ def decode_crops_memo(
             return int(nz[-1]) + 1 if len(nz) else 0
 
         miss.sort(key=lambda i: _content_w(crops[i]))
-    for j in range(0, len(miss), ENCODE_CHUNK):
-        idxs = miss[j : j + ENCODE_CHUNK]
-        chunk = np.stack([crops[i] for i in idxs]).astype(np.float32)
+    if method == "ctc":
+        for j in range(0, len(miss), ENCODE_CHUNK):
+            idxs = miss[j : j + ENCODE_CHUNK]
+            chunk = np.stack([crops[i] for i in idxs]).astype(np.float32)
+            if len(memo) >= 65536:
+                memo.clear()
+            mem = model.encode(chunk, fp32=fp32)
+            for i, d in zip(idxs, model.ctc_greedy(mem)):
+                memo[keys[i]] = d
+    elif miss:
+        # W8/M4 accuracy mode: encode stays chunk-stacked, then ALL the
+        # batch's miss lines beam-decode in lockstep waves
+        # (beam_decode_batch) so per-step decoder GEMMs and CTC-fusion
+        # sweeps amortize across lines instead of running per line
+        mems = np.concatenate(
+            [
+                model.encode(
+                    np.stack(
+                        [crops[i] for i in miss[j : j + ENCODE_CHUNK]]
+                    ).astype(np.float32),
+                    fp32=fp32,
+                )
+                for j in range(0, len(miss), ENCODE_CHUNK)
+            ],
+            axis=0,
+        )
         if len(memo) >= 65536:
             memo.clear()
-        mem = model.encode(chunk, fp32=fp32)
-        decoded = (
-            model.ctc_greedy(mem)
-            if method == "ctc"
-            # W8/M4 accuracy mode: encode stays chunk-stacked; the
-            # autoregressive beam runs per memory row (CTC-fusion via the
-            # incremental CtcPrefixScorer keeps this ~70 ms/line)
-            else [model.beam_decode(mem[r]) for r in range(len(idxs))]
-        )
-        for i, d in zip(idxs, decoded):
+        for i, d in zip(miss, model.beam_decode_batch(mems)):
             memo[keys[i]] = d
     for i, k in enumerate(keys):
         out[i] = memo[k]

@@ -143,7 +143,14 @@ class CtcPrefixScorer:
     def score(self, target) -> float:
         """log-score of ``target`` (label ids, no blanks) — memoized;
         unseen targets extend from their longest memoized prefix."""
-        key = tuple(int(v) for v in target)
+        # beam-path callers already pass canonical python-int tuples;
+        # re-tupling them was 100k+ generator frames per decode wave
+        if type(target) is tuple and (
+            not target or type(target[0]) is int
+        ):
+            key = target
+        else:
+            key = tuple(int(v) for v in target)
         hit = self._memo.get(key)
         if hit is None:
             self.score(key[:-1])  # ensure the parent state exists
@@ -155,51 +162,7 @@ class CtcPrefixScorer:
         """Scores for single-label EXTENSIONS of memoized parents,
         computed in one vectorized frame sweep; falls back to scalar
         score() for anything deeper than one unmemoized label."""
-        todo: dict[tuple, int] = {}
-        for key in targets:
-            if key not in self._memo and key[:-1] in self._memo \
-                    and key not in todo:
-                todo[key] = len(todo)
-        if todo:
-            lp, blank = self.lp, self.blank
-            T = len(lp)
-            B = len(todo)
-            keys = list(todo)
-            labels = np.array([k[-1] for k in keys], dtype=np.int64)
-            # (T, B) layout: the frame sweep walks contiguous rows, and
-            # out= buffers kill per-iteration allocation — this loop is
-            # the beam hot path's hot path.
-            PB = np.stack([self._memo[k[:-1]][0][0] for k in keys], axis=1)
-            root = np.array([self._memo[k[:-1]][0][1] is None for k in keys])
-            neg = np.full(T, -np.inf)
-            # PL pre-masked to -inf where the skip transition is illegal:
-            # logaddexp(x, -inf) == x exactly, so one unconditional
-            # logaddexp replaces the old where(skip, ...) — same
-            # association order, bit-identical results
-            PL = np.stack([
-                self._memo[k[:-1]][0][1]
-                if (self._memo[k[:-1]][0][1] is not None
-                    and k[-1] != self._memo[k[:-1]][0][2])
-                else neg
-                for k in keys
-            ], axis=1)
-            NL = np.full((T, B), -np.inf)
-            NB = np.full((T, B), -np.inf)
-            lpl = lp[:, labels]  # (T, B)
-            lpb = lp[:, blank]  # (T,)
-            NL[0][root] = lpl[0][root]
-            buf = np.empty(B)
-            for t in range(1, T):
-                np.logaddexp(NL[t - 1], PB[t - 1], out=buf)
-                np.logaddexp(buf, PL[t - 1], out=buf)
-                np.add(buf, lpl[t], out=NL[t])
-                np.logaddexp(NB[t - 1], NL[t - 1], out=buf)
-                np.add(buf, lpb[t], out=NB[t])
-            ends = np.logaddexp(NB[T - 1], NL[T - 1]) if T else \
-                np.full(B, -np.inf)
-            for i, k in enumerate(keys):
-                self._memo[k] = ((NB[:, i].copy(), NL[:, i].copy(),
-                                  int(labels[i])), float(ends[i]))
+        ctc_scores_batch_multi([(self, targets)])
         return [self.score(k) for k in targets]
 
     def _extend(self, state, label: int):
@@ -222,6 +185,74 @@ class CtcPrefixScorer:
             nb[t] = np.logaddexp(nb[t - 1], nl[t - 1]) + lpb[t]
         end = float(np.logaddexp(nb[T - 1], nl[T - 1])) if T else -np.inf
         return (nb, nl, label), end
+
+
+def ctc_scores_batch_multi(
+    jobs: list[tuple["CtcPrefixScorer", list[tuple]]]
+) -> None:
+    """One merged frame sweep for single-label extensions across SEVERAL
+    scorers (= several lines' lattices, all the same frame count T).
+
+    The per-scorer sweep's 5 ufunc calls per frame on a ~9-wide array
+    are pure numpy-call overhead (profiled at 38% of beam decode); a
+    lockstep multi-line beam concatenates every line's step extensions
+    into one (T, sum B_i) sweep, amortizing the overhead across lines.
+    Every op stays elementwise in the same per-element order as the
+    single-scorer sweep (the blank column lpb widens from (T,) to
+    (T, B) — same additions per element), so memoized states and scores
+    are BIT-IDENTICAL to per-scorer scores_batch, which remains
+    law-tested against the full ctc_forward_score DP."""
+    cols: list[tuple["CtcPrefixScorer", tuple]] = []
+    seen: set[tuple[int, tuple]] = set()
+    for scorer, targets in jobs:
+        for key in targets:
+            tag = (id(scorer), key)
+            if key not in scorer._memo and key[:-1] in scorer._memo \
+                    and tag not in seen:
+                seen.add(tag)
+                cols.append((scorer, key))
+    if not cols:
+        return
+    T = len(cols[0][0].lp)
+    if any(len(s.lp) != T for s, _ in cols):
+        # mixed frame counts: fall back to per-scorer sweeps
+        for scorer, key in cols:
+            scorer.score(key)
+        return
+    B = len(cols)
+    labels = np.array([k[-1] for _, k in cols], dtype=np.int64)
+    PB = np.stack([s._memo[k[:-1]][0][0] for s, k in cols], axis=1)
+    root = np.array([s._memo[k[:-1]][0][1] is None for s, k in cols])
+    neg = np.full(T, -np.inf)
+    # PL pre-masked to -inf where the skip transition is illegal:
+    # logaddexp(x, -inf) == x exactly (see class docstring)
+    PL = np.stack([
+        s._memo[k[:-1]][0][1]
+        if (s._memo[k[:-1]][0][1] is not None
+            and k[-1] != s._memo[k[:-1]][0][2])
+        else neg
+        for s, k in cols
+    ], axis=1)
+    NL = np.full((T, B), -np.inf)
+    NB = np.full((T, B), -np.inf)
+    lpl = np.stack(
+        [s.lp[:, k[-1]] for s, k in cols], axis=1
+    )  # (T, B), per-column lattice
+    lpb = np.stack([s.lp[:, s.blank] for s, _ in cols], axis=1)
+    if T:
+        NL[0][root] = lpl[0][root]
+    buf = np.empty(B)
+    for t in range(1, T):
+        np.logaddexp(NL[t - 1], PB[t - 1], out=buf)
+        np.logaddexp(buf, PL[t - 1], out=buf)
+        np.add(buf, lpl[t], out=NL[t])
+        np.logaddexp(NB[t - 1], NL[t - 1], out=buf)
+        np.add(buf, lpb[t], out=NB[t])
+    ends = np.logaddexp(NB[T - 1], NL[T - 1]) if T else \
+        np.full(B, -np.inf)
+    for i, (s, k) in enumerate(cols):
+        s._memo[k] = ((NB[:, i].copy(), NL[:, i].copy(),
+                       int(labels[i])), float(ends[i]))
 
 
 _CHAR_ID = {c: i for i, c in enumerate(CHARSET)}

@@ -3018,10 +3018,10 @@ def q_model_decode_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     glyph-exact text equality against the construction oracle through
     the autoregressive decoder path. Same ids (doc_id % 17 == 0 — the
     family's training split excludes them by construction), same render
-    + preprocess contract; only the decode mode differs. Beam is
-    per-sequence (hypothesis expansion can't stack across lines), so the
-    encoder runs chunked like the CTC query and the decoder loops per
-    line — the honest cost shape of the accuracy mode."""
+    + preprocess contract; only the decode mode differs. The encoder
+    runs chunked like the CTC query; the decoder runs lockstep across
+    the batch's lines (beam_decode_batch) so per-step expansion GEMMs
+    and CTC-fusion sweeps amortize over lines."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sample = _spread(docs.filter((F.col("doc_id") % 17) == 0).select("doc_id"))
     path = trained_model_path()
@@ -3047,13 +3047,19 @@ def q_model_decode_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 ids.append(d)
                 crops.append(resize_keep_ratio_pad(render_page([line])))
-            texts = []
-            for i in range(0, len(crops), ENCODE_CHUNK):
-                chunk = np.stack(crops[i : i + ENCODE_CHUNK]).astype(
-                    np.float32
-                )
-                mems = model.encode(chunk, fp32=True)
-                texts.extend(model.beam_decode(mem)[0] for mem in mems)
+            mems = np.concatenate(
+                [
+                    model.encode(
+                        np.stack(crops[i : i + ENCODE_CHUNK]).astype(
+                            np.float32
+                        ),
+                        fp32=True,
+                    )
+                    for i in range(0, len(crops), ENCODE_CHUNK)
+                ],
+                axis=0,
+            )
+            texts = [t for t, _ in model.beam_decode_batch(mems)]
             yield pd.DataFrame({"doc_id": ids, "text": texts})
 
     return sample.mapInPandas(fn, schema="doc_id long, text string")

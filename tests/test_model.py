@@ -473,3 +473,76 @@ def test_decode_crops_memo_equals_plain_chunked_decode():
         assert abs(c1 - c2) < 1e-9
     assert len(memo) == len(set(lines))
     assert decode_crops_memo(model, crops, memo) == got  # pure replay
+
+
+def test_beam_decode_batch_matches_per_line():
+    """Law (round 7): the lockstep multi-line beam (beam_decode_batch —
+    batched per-step decoder GEMMs + one merged CTC-fusion sweep across
+    lines) produces the SAME texts as per-line beam_decode, with
+    confidences agreeing to ~1e-9 — the same contract tier as the KV
+    cache vs the full forward. Exercises mixed-length lines (lines leave
+    the lockstep wave at different steps), the >LOCKSTEP_LINES chunking
+    path, and the fusion-off (scorer=None) seed-model path."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from kiri_ocr_spark.operators.model import (
+        CFG,
+        ENCODE_CHUNK,
+        NumpyKiriModel,
+        load_model,
+    )
+    from kiri_ocr_spark.operators.train import charset_coverage_lines, render_crop
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "models", "trained_full.npz"
+    )
+    if not os.path.exists(path):
+        pytest.skip("trained artifact not built")
+    model = load_model(path)
+    lines = charset_coverage_lines(12, seed=20260821) + [
+        "hello world", "x", "a much longer line of text for the cap",
+    ]
+    mems = []
+    for line in lines:
+        _, crop, _ = render_crop(line, model.tok)
+        mems.append(crop)
+    mems = np.concatenate(
+        [
+            model.encode(
+                np.stack(mems[j : j + ENCODE_CHUNK]).astype(np.float32),
+                fp32=True,
+            )
+            for j in range(0, len(mems), ENCODE_CHUNK)
+        ],
+        axis=0,
+    )
+    per_line = [model.beam_decode(mems[i]) for i in range(len(mems))]
+    batch = model.beam_decode_batch(mems)
+    assert len(batch) == len(per_line)
+    for (ta, ca), (tb, cb) in zip(per_line, batch):
+        assert ta == tb
+        assert abs(ca - cb) < 1e-9
+    # chunking path: shrink the wave size so one call spans waves
+    old = NumpyKiriModel.LOCKSTEP_LINES
+    try:
+        NumpyKiriModel.LOCKSTEP_LINES = 4
+        rechunked = model.beam_decode_batch(mems)
+    finally:
+        NumpyKiriModel.LOCKSTEP_LINES = old
+    assert [t for t, _ in rechunked] == [t for t, _ in batch]
+
+    # fusion-off path (scorer=None) on seed weights, fp64
+    seed = NumpyKiriModel(CFG())
+    crops = []
+    for line in ["abc", "hello"]:
+        _, crop, _ = render_crop(line, seed.tok)
+        crops.append(crop)
+    m2 = seed.encode(np.stack(crops))
+    pl = [seed.beam_decode(m2[i]) for i in range(len(m2))]
+    bt = seed.beam_decode_batch(m2)
+    for (ta, ca), (tb, cb) in zip(pl, bt):
+        assert ta == tb
+        assert abs(ca - cb) < 1e-9
