@@ -1067,7 +1067,7 @@ class NumpyKiriModel:
         monotonically, '' with retracted=True when the new best is not an
         extension of the previous one — the event a downstream sink must
         REPLACE on, not append."""
-        beam, mem, max_len, ctc_logp, ctc_text = self._beam_setup(mem_row, beam)
+        beam, mem, max_len, scorer, ctc_text = self._beam_setup(mem_row, beam)
         kv = {"cross": self._cross_kv(mem), "qkv": self._qkv_cat(), "store": {}}
         bos = self.tok.DEC_BOS
         beams: list[tuple[list[int], float, float, bool]] = [
@@ -1076,11 +1076,11 @@ class NumpyKiriModel:
         prev_text = ""
         step = 0
         while step < max_len and not all(done for *_, done in beams):
-            beams = self._beam_advance(beams, mem, ctc_logp, beam, kv=kv)
+            beams = self._beam_advance(beams, mem, scorer, beam, kv=kv)
             step += 1
             loop_done = all(done for *_, done in beams) or step >= max_len
             best = (
-                self._final_best(beams, mem, ctc_logp, ctc_text)
+                self._final_best(beams, mem, scorer, ctc_text)
                 if loop_done
                 else max(beams, key=self._norm_score)
             )
@@ -1336,8 +1336,11 @@ def decode_crops_memo(
     cleared at 65536 entries (same policy as recognize._LINE_MEMO).
     """
     out: list = [None] * len(crops)
+    # method is part of the key: a memo dict populated under method='ctc'
+    # must never serve greedy results to a method='beam' call (ADVICE r6)
     keys = [
-        hashlib.blake2b(c.tobytes(), digest_size=16).digest() for c in crops
+        (method, hashlib.blake2b(c.tobytes(), digest_size=16).digest())
+        for c in crops
     ]
     first_of: dict = {}
     for i, k in enumerate(keys):

@@ -367,6 +367,13 @@ def extract_span_rows(
         joined = salted.join(media, "media_ref", "left").repartition(nparts, "salt")
     joined = joined.select("doc_id", "offset", "kind", "media_ref", "png_bytes")
 
+    if recognizer not in ("trained", "beam", "template"):
+        # fail fast on typos: 'Beam' silently producing template output
+        # is a silent-wrong-answer bug at corpus scale (ADVICE r6)
+        raise ValueError(
+            f"unknown recognizer {recognizer!r}; "
+            "expected 'trained', 'beam' or 'template'"
+        )
     if recognizer in ("trained", "beam"):
         from .queries import trained_model_path
 

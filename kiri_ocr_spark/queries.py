@@ -718,8 +718,49 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _NEAR_DUP_CORPUS_CACHE[key]
 
 
+from pyspark.sql.types import (  # noqa: E402  (module section locality)
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+# explicit DataType objects: a DDL-string returnType would be parsed at
+# import time, which requires an active SparkContext
+_JACCARD_COUNTS_TYPE = StructType(
+    [StructField("ni", IntegerType()), StructField("nu", IntegerType())]
+)
+
+
+@F.pandas_udf(_JACCARD_COUNTS_TYPE)
+def _jaccard_counts_udf(sh_a: pd.Series, sh_b: pd.Series) -> pd.DataFrame:
+    """|A intersect B| and |A union B| of two hashed-shingle arrays —
+    set counts over exact int64 values, identical to
+    size(array_intersect)/size(array_union) (both dedup) but via
+    numpy's sorted set ops instead of interpreted per-element Catalyst
+    array ops (profiled 20 core-s at sf0.1 on the verify join)."""
+    import numpy as np
+
+    n = len(sh_a)
+    ni = np.empty(n, dtype=np.int32)
+    nu = np.empty(n, dtype=np.int32)
+    for i, (a, b) in enumerate(zip(sh_a, sh_b)):
+        inter = np.intersect1d(
+            np.asarray(a, dtype=np.int64), np.asarray(b, dtype=np.int64)
+        )
+        ni[i] = len(inter)
+        nu[i] = (
+            len(np.union1d(np.asarray(a, np.int64), np.asarray(b, np.int64)))
+        )
+    return pd.DataFrame({"ni": ni, "nu": nu})
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = _near_dup_corpus(spark, sf_dir)
+    # the 16 array_min(transform(...)) signature mins stay CATALYST
+    # expressions deliberately: whole-stage codegen runs them faster
+    # than an Arrow pandas_udf (A/B'd 0.20s vs 0.58s at sf0.1 — the
+    # Python boundary only wins where Catalyst interprets, see the
+    # verify kernel below)
     sigs = hashed.select(
         "doc_id",
         *[
@@ -1168,21 +1209,27 @@ _JACCARD_THRESHOLD = 0.5
 def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Jaccard over the 60-bit HASHED shingle arrays, not the strings:
     # identical set semantics up to md5 collisions (~|sh|^2 / 2^60 per
-    # doc, vanishing) and the bigint intersect/union runs 2x faster than
-    # the string one (measured 6.5s -> 3.3s at sf0.1) — exactly how
-    # production dedup verifies candidates. The oracle hashes the same way.
-    pairs = q_minhash_pairs(spark, sf_dir)
+    # doc, vanishing) — exactly how production dedup verifies
+    # candidates. The oracle hashes the same way. Set counts come from
+    # the Arrow-vectorized numpy kernel (_jaccard_counts_udf); the
+    # division and round stay native so jac's float bits are unchanged.
+    # The candidate table is the SAME staged intermediate the clustering
+    # family consumes ('lsh_pairs') — verified previously re-derived the
+    # full LSH DAG that dedup_clusters had already staged in the same
+    # application (the persisted-intermediate pattern this family
+    # documents in the bench's amortization block).
+    pairs = _staged(
+        spark, sf_dir, "lsh_pairs", lambda: q_minhash_pairs(spark, sf_dir)
+    )
     corpus = _near_dup_corpus(spark, sf_dir)  # shingles already materialized
     a = corpus.select(F.col("doc_id").alias("a"), F.col("hs").alias("sh_a"))
     b = corpus.select(F.col("doc_id").alias("b"), F.col("hs").alias("sh_b"))
     joined = pairs.join(a, "a").join(b, "b")
-    jac = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b")),
-        6,
-    )
+    nn = _jaccard_counts_udf("sh_a", "sh_b")
+    jac = F.round(F.col("nn.ni") / F.col("nn.nu"), 6)
     return (
-        joined.select("a", "b", jac.alias("jac"))
+        joined.select("a", "b", nn.alias("nn"))
+        .select("a", "b", jac.alias("jac"))
         .filter(F.col("jac") >= _JACCARD_THRESHOLD)
         .select("a", "b", "jac")
     )

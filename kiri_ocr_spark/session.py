@@ -42,6 +42,12 @@ def get_spark(
         # gets steady work without buffering huge byte columns
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # scan-parallelism floor (guide §6): single-file parquet sources
+        # otherwise scan as 1-2 tasks and starve CPU-heavy per-row work
+        # (the ANN dot-product scans ran 2 tasks on 32 cores at the
+        # driver's sf1.0). Derived from the session's core count, not a
+        # constant, so cluster deployments scale it with executor cores.
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         # UI off by default (tests spawn many sessions); bench.py turns it
