@@ -610,57 +610,88 @@ class NumpyKiriModel:
         logits = x @ self.lm_head[0] + self.lm_head[1]
         return log_softmax(logits[:, 0])
 
-    def _advance_logits_kv_group(
+    def _advance_logits_kv_wave(
         self,
         lines: list[int],
         alive_lists: list[list],
         states: list[dict],
-        qkv: list[np.ndarray],
+        wave: dict,
     ) -> np.ndarray:
-        """_advance_logits_kv generalized across a GROUP of lockstep
-        lines with the same alive-beam count and sequence length: the
-        per-step self-attention projections, cross-attention and FF run
-        as single batched calls over all of the group's beams instead
-        of one tiny-GEMM pass per line (profiled at 32% of beam decode
-        as per-line calls). Same math, same structure; the equality
-        contract vs the per-line path is TEXT-level + ~1e-9 confidence,
-        exactly like _advance_logits_kv's own contract vs the full
-        teacher-forced re-forward (BLAS m-blocking is not row-stable, so
-        bit parity across batch shapes was never defined). Writes each
-        alive beam's new K/V rows into its line's ``new_store``."""
+        """_advance_logits_kv generalized across ALL lockstep lines of a
+        wave: the per-step self-attention projections, cross-attention
+        and FF run as single batched calls over every active line's
+        alive beams instead of one tiny-GEMM pass per line (profiled at
+        32% of beam decode as per-line calls). Lines with fewer alive
+        beams than the wave max are padded by repeating their first
+        alive beam (a duplicate computation, discarded on store) so the
+        row grid stays uniform for the broadcast cross-attention.
+        Cached K/V live in ONE array per layer per step; each step
+        gathers parent rows with a single fancy index instead of
+        per-row np.stack (was ~40% of the step cost). Same math, same
+        structure; the equality contract vs the per-line path is
+        TEXT-level + ~1e-9 confidence, exactly like
+        _advance_logits_kv's own contract vs the full teacher-forced
+        re-forward (BLAS m-blocking is not row-stable, so bit parity
+        across batch shapes was never defined). Records each alive
+        beam's K/V row index in its line's ``new_rows`` map. Returns
+        [L, A_max, V] last-position log-probs (padded rows included —
+        callers slice the real ones)."""
         cfg = self.cfg
         H, D = cfg.N_HEADS, cfg.D_MODEL
         dh = D // H
         L = len(lines)
-        A = len(alive_lists[0])
+        A = max(len(al) for al in alive_lists)
         B = L * A
         S = len(alive_lists[0][0][0])
-        flat = [b for al in alive_lists for b in al]
-        last = np.array([b[0][-1] for b in flat], dtype=np.int64)
+        padded: list = []
+        for al in alive_lists:
+            padded.extend(al)
+            padded.extend(al[:1] * (A - len(al)))
+        last = np.array([b[0][-1] for b in padded], dtype=np.int64)
         x = self.dec_emb[last][:, None, :] + self._pos_row(S - 1)[None, None]
-        parents = [
-            states[i]["store"].get(tuple(b[0][:-1]))
-            for i, al in zip(lines, alive_lists)
-            for b in al
-        ]
-        new_rows: list[list] = [[] for _ in range(B)]
+        if S > 1:
+            parent_idx = np.array(
+                [
+                    states[i]["rows"][tuple(b[0][:-1])]
+                    for i, al in zip(lines, alive_lists)
+                    for b in (
+                        list(al) + al[:1] * (A - len(al))
+                    )
+                ],
+                dtype=np.int64,
+            )
+        # active-line cross K/V slices, re-gathered only when the active
+        # set changes (lines leave the wave far less often than it steps)
+        sel = wave.get("cross_sel")
+        key = tuple(lines)
+        if sel is None or sel[0] != key:
+            if len(lines) == len(wave["cross"][0][0]):
+                picked = wave["cross"]  # full wave: use the arrays as-is
+            else:
+                idx = np.asarray(lines, dtype=np.int64)
+                picked = [(c[0][idx], c[1][idx]) for c in wave["cross"]]
+            sel = (key, picked)
+            wave["cross_sel"] = sel
+        cross_sel = sel[1]
+        new_K: list[np.ndarray] = []
+        new_V: list[np.ndarray] = []
         scale = np.sqrt(dh)
         for li, ly in enumerate(self.dec_layers):
-            qkv_p = (x @ qkv[li]).reshape(B, 1, 3, H, dh)
+            qkv_p = (x @ wave["qkv"][li]).reshape(B, 1, 3, H, dh)
             qh = qkv_p[:, :, 0].transpose(0, 2, 1, 3)
             kh = qkv_p[:, :, 1].transpose(0, 2, 1, 3)
             vh = qkv_p[:, :, 2].transpose(0, 2, 1, 3)
-            if parents[0] is None:  # S == 1: no cached rows yet
+            if S == 1:  # no cached rows yet
                 K, V = kh, vh
             else:
                 K = np.concatenate(
-                    [np.stack([p[li][0] for p in parents]), kh], axis=2
+                    [wave["K"][li][parent_idx], kh], axis=2
                 )
                 V = np.concatenate(
-                    [np.stack([p[li][1] for p in parents]), vh], axis=2
+                    [wave["V"][li][parent_idx], vh], axis=2
                 )
-            for b in range(B):
-                new_rows[b].append((K[b], V[b]))
+            new_K.append(K)
+            new_V.append(V)
             att = qh @ K.transpose(0, 1, 3, 2) / scale
             a = softmax(att) @ V
             a = a.transpose(0, 2, 1, 3).reshape(B, 1, D) @ ly["so"]
@@ -668,8 +699,7 @@ class NumpyKiriModel:
             # cross-attention: [L, A, H, 1, dh] @ [L, 1, H, dh, T] — the
             # broadcast batched matmul == the per-line materialized
             # repeat (the same law the per-line path relies on)
-            ckh = np.stack([states[i]["cross"][li][0][0] for i in lines])
-            cvh = np.stack([states[i]["cross"][li][1][0] for i in lines])
+            ckh, cvh = cross_sel[li]
             q2 = (x @ ly["cq"]).reshape(L, A, 1, H, dh).transpose(0, 1, 3, 2, 4)
             att2 = q2 @ ckh[:, None].transpose(0, 1, 2, 4, 3) / scale
             c = softmax(att2) @ cvh[:, None]
@@ -677,14 +707,14 @@ class NumpyKiriModel:
             x = layer_norm(x + c, ly["g2"], ly["b2"])
             ff = np.maximum(x @ ly["w1"] + ly["bf1"], 0.0) @ ly["w2"] + ly["bf2"]
             x = layer_norm(x + ff, ly["g3"], ly["b3"])
-        idx = 0
-        for i, al in zip(lines, alive_lists):
-            ns = states[i]["new_store"]
-            for b in al:
-                ns[tuple(b[0])] = new_rows[idx]
-                idx += 1
+        wave["K"], wave["V"] = new_K, new_V
+        for j, (i, al) in enumerate(zip(lines, alive_lists)):
+            rows = {}
+            for k, b in enumerate(al):
+                rows[tuple(b[0])] = j * A + k
+            states[i]["rows"] = rows
         logits = x @ self.lm_head[0] + self.lm_head[1]
-        return log_softmax(logits[:, 0])
+        return log_softmax(logits[:, 0]).reshape(L, A, -1)
 
     def _len_cap(self, ctc_len: int) -> int:
         """CTC length estimate caps decoder steps (model.py:415-425)."""
@@ -959,13 +989,19 @@ class NumpyKiriModel:
         dh = D // H
         T = mems.shape[1]
         # batched per-layer cross K/V over all lines (one GEMM per layer
-        # instead of N) — per-line [1, H, T, dh] views slice out of it
+        # instead of N); the wave step gathers active-line slices
         cross_all = []
         for ly in self.dec_layers:
             kh = (mems @ ly["ck"]).reshape(N, T, H, dh).transpose(0, 2, 1, 3)
             vh = (mems @ ly["cv"]).reshape(N, T, H, dh).transpose(0, 2, 1, 3)
-            cross_all.append((kh, vh))
-        qkv = self._qkv_cat()
+            cross_all.append((np.ascontiguousarray(kh), np.ascontiguousarray(vh)))
+        wave: dict = {
+            "qkv": self._qkv_cat(),
+            "cross": cross_all,
+            "cross_sel": None,
+            "K": None,
+            "V": None,
+        }
         bos = self.tok.DEC_BOS
         states: list[dict] = []
         for i in range(N):
@@ -980,10 +1016,7 @@ class NumpyKiriModel:
                     ),
                     "ctc_text": ctc_text,
                     "max_len": self._len_cap(len(ctc_text)),
-                    "cross": [
-                        (kh[i : i + 1], vh[i : i + 1]) for kh, vh in cross_all
-                    ],
-                    "store": {},
+                    "rows": {},
                     "steps": 0,
                     "result": None,
                 }
@@ -1007,28 +1040,20 @@ class NumpyKiriModel:
         from .recognize import ctc_scores_batch_multi
 
         while active:
-            groups: dict[int, list[int]] = {}
-            for i in active:
-                a = sum(1 for b in states[i]["beams"] if not b[3])
-                groups.setdefault(a, []).append(i)
-                states[i]["new_store"] = {}
-            logp_of: dict[int, np.ndarray] = {}
-            for a_cnt, lines in sorted(groups.items()):
-                alive_lists = [
-                    [b for b in states[i]["beams"] if not b[3]] for i in lines
-                ]
-                logp = self._advance_logits_kv_group(
-                    lines, alive_lists, states, qkv
-                )
-                for j, i in enumerate(lines):
-                    logp_of[i] = logp[j * a_cnt : (j + 1) * a_cnt]
+            alive_lists = [
+                [b for b in states[i]["beams"] if not b[3]] for i in active
+            ]
+            logp3 = self._advance_logits_kv_wave(
+                active, alive_lists, states, wave
+            )
             expanded: dict[int, tuple[list, list]] = {}
             jobs = []
-            for i in active:
+            for j, i in enumerate(active):
                 st = states[i]
-                alive = [b for b in st["beams"] if not b[3]]
+                alive = alive_lists[j]
                 cand, pending = self._advance_expand(
-                    st["beams"], alive, logp_of[i], st["scorer"], beam
+                    st["beams"], alive, logp3[j][: len(alive)],
+                    st["scorer"], beam
                 )
                 expanded[i] = (cand, pending)
                 if pending:
@@ -1044,7 +1069,6 @@ class NumpyKiriModel:
                 st["beams"] = self._advance_finish(
                     cand, pending, st["scorer"], beam
                 )
-                st["store"] = st.pop("new_store")
                 st["steps"] += 1
                 if (
                     all(b[3] for b in st["beams"])
