@@ -39,7 +39,10 @@ _HEAD_THRESH = 0.18
 def _conv2d(x: np.ndarray, w: np.ndarray, b: np.ndarray, stride: int) -> np.ndarray:
     """Same-pad 3x3 conv via im2col; x [H, W, Cin], w [3, 3, Cin, Cout]."""
     H, W, C = x.shape
-    xp = np.pad(x, ((1, 1), (1, 1), (0, 0)))
+    # zeros+assign == np.pad(constant 0) bitwise; np.pad's python-side
+    # setup was ~90 us/call at this call rate
+    xp = np.zeros((H + 2, W + 2, C), dtype=x.dtype)
+    xp[1:-1, 1:-1] = x
     oh, ow = (H + stride - 1) // stride, (W + stride - 1) // stride
     cols = np.empty((oh, ow, 9 * C), dtype=x.dtype)  # dtype follows input
     for dy in range(3):
@@ -66,8 +69,11 @@ def _upsample_bilinear(x: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     x1 = np.clip(x0 + 1, 0, in_w - 1)
     wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
     wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
-    top = x[y0][:, x0] * (1 - wx) + x[y0][:, x1] * wx
-    bot = x[y1][:, x0] * (1 - wx) + x[y1][:, x1] * wx
+    # gather rows once per y-index set (x[y0]/x[y1] were materialized
+    # twice each before); identical values, same arithmetic
+    xy0, xy1 = x[y0], x[y1]
+    top = xy0[:, x0] * (1 - wx) + xy0[:, x1] * wx
+    bot = xy1[:, x0] * (1 - wx) + xy1[:, x1] * wx
     return top * (1 - wy) + bot * wy
 
 
