@@ -288,10 +288,17 @@ def db_boxes_from_bitmap(
     height, width = bitmap.shape
     labels = connected_components(bitmap, connectivity=8)
     n = int(labels.max())
+    stats = component_stats(labels)
     boxes: list[np.ndarray] = []
     scores: list[float] = []
     for k in range(1, min(n, max_candidates) + 1):
-        ys, xs = np.nonzero(labels == k)
+        # a component lives inside its bounding box: scan the window,
+        # not the whole map (identical ys/xs in the same row-major
+        # order, so every downstream float — including the slow-score
+        # mean's summation order — is bit-unchanged)
+        bx, by, bw, bh, _ = (int(v) for v in stats[k - 1])
+        wys, wxs = np.nonzero(labels[by : by + bh, bx : bx + bw] == k)
+        ys, xs = wys + by, wxs + bx
         if len(xs) < 4:
             continue
         pts = np.column_stack([xs, ys]).astype(np.float64)
@@ -391,16 +398,23 @@ def craft_boxes(
     for k, (x, y, w, h, size) in enumerate(stats, start=1):
         if size < 10:
             continue
-        member = labels == k
-        if float(textmap[member].max()) < text_threshold:
-            continue
-        segmap = member.copy()
-        segmap[link_score & ~text_score] = False  # remove link-only area
+        # all of this component's pixels — and its dilated segmap — live
+        # inside the [sy:ey, sx:ex] window; run the per-component mask
+        # ops there instead of over the whole map (same pixels, same
+        # row-major order, bit-identical boxes)
         niter = int(np.sqrt(size * min(w, h) / (w * h)) * 2)
         sx, ex = max(int(x) - niter, 0), min(int(x + w) + niter + 1, img_w)
         sy, ey = max(int(y) - niter, 0), min(int(y + h) + niter + 1, img_h)
-        segmap[sy:ey, sx:ex] = _dilate_square(segmap[sy:ey, sx:ex], 1 + niter)
-        ys, xs = np.nonzero(segmap)
+        member = labels[sy:ey, sx:ex] == k
+        if float(textmap[sy:ey, sx:ex][member].max()) < text_threshold:
+            continue
+        segmap = member.copy()
+        segmap[
+            link_score[sy:ey, sx:ex] & ~text_score[sy:ey, sx:ex]
+        ] = False  # remove link-only area
+        segmap = _dilate_square(segmap, 1 + niter)
+        wys, wxs = np.nonzero(segmap)
+        ys, xs = wys + sy, wxs + sx
         pts = np.column_stack([xs, ys]).astype(np.float64)
         box = box_points(min_area_rect(pts))
         # diamond-shape alignment: near-square rotated boxes snap to AABB
