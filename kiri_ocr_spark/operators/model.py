@@ -858,6 +858,28 @@ class NumpyKiriModel:
             scorer.scores_batch([nt for _, _, nt in pending if nt])
         return self._advance_finish(cand, pending, scorer, beam)
 
+    def _penalize_rows(self, alive: list, logp: np.ndarray) -> np.ndarray:
+        """Penalty-adjusted COPIES of the alive beams' log-prob rows —
+        the same += sequence (UNK, EOS bias, unigram repeat, bigram
+        repeats) the per-row loop applied, on a [n, V] matrix."""
+        cfg = self.cfg
+        eos = self.tok.DEC_EOS
+        unk_dec = self.tok.unk_id + 3
+        mat = np.array(logp)
+        for r, (seq, *_rest) in enumerate(alive):
+            row = mat[r]
+            row[unk_dec] += cfg.UNK_PENALTY
+            row[eos] += cfg.EOS_BIAS
+            # uni/bi-gram repeat penalties (model.py:506-535 family)
+            if len(seq) >= 1:
+                row[seq[-1]] += cfg.REPEAT_PENALTY
+            if len(seq) >= 2:
+                last = seq[-1]
+                for j in range(len(seq) - 1):
+                    if seq[j] == last:
+                        row[seq[j + 1]] += cfg.REPEAT_PENALTY / 2.0
+        return mat
+
     def _advance_expand(
         self,
         beams: list[tuple[list[int], float, float, bool]],
@@ -865,33 +887,30 @@ class NumpyKiriModel:
         logp: np.ndarray,
         scorer: "CtcPrefixScorer | None",
         beam: int,
+        penalized: np.ndarray | None = None,
+        tops: np.ndarray | None = None,
     ) -> tuple[list, list]:
         """The bookkeeping half of _beam_advance (penalties, top-k,
         candidate building) — shared verbatim by the per-line and the
         lockstep multi-line drivers so the expansion rule has exactly
-        one implementation. Returns (candidates, pending scorer
-        extensions as (cand_idx, parent_target, new_target))."""
-        cfg = self.cfg
+        one implementation. The lockstep driver passes precomputed
+        ``penalized`` rows and stable-argsort ``tops`` (batched across
+        the whole wave step — one argsort call instead of one per
+        beam; per-row results are identical). Returns (candidates,
+        pending scorer extensions as (cand_idx, parent, new))."""
+        if penalized is None:
+            penalized = self._penalize_rows(alive, logp)
+        if tops is None:
+            tops = np.argsort(-penalized, axis=1, kind="stable")[:, :beam]
         eos = self.tok.DEC_EOS
-        unk_dec = self.tok.unk_id + 3
         cand: list[tuple[list[int], float, float, bool]] = [
             b for b in beams if b[3]
         ]
         pending: list[tuple[int, tuple, tuple]] = []  # (cand_idx, parent, new)
-        for (seq, score, dlp, _), row in zip(alive, logp):
-            row = row.copy()
-            row[unk_dec] += cfg.UNK_PENALTY
-            row[eos] += cfg.EOS_BIAS
-            # uni/bi-gram repeat penalties (model.py:506-535 family)
-            if len(seq) >= 1:
-                row[seq[-1]] += cfg.REPEAT_PENALTY
-            if len(seq) >= 2:
-                for j in range(len(seq) - 1):
-                    if seq[j] == seq[-1]:
-                        row[seq[j + 1]] += cfg.REPEAT_PENALTY / 2.0
-            top = np.argsort(-row, kind="stable")[:beam]
+        for r, (seq, score, dlp, _) in enumerate(alive):
+            row = penalized[r]
             parent_target = tuple(d - 1 for d in seq[1:] if d >= 3)
-            for t in top:
+            for t in tops[r]:
                 new_seq = seq + [int(t)]
                 new_score = score + float(row[t])
                 if scorer is not None and int(t) != eos:
@@ -1049,15 +1068,35 @@ class NumpyKiriModel:
             logp3 = self._advance_logits_kv_wave(
                 active, alive_lists, states, wave
             )
+            # penalties + ONE stable argsort for the whole step's alive
+            # rows (per-row results identical to per-beam argsort calls)
+            L, A, V = logp3.shape
+            idx = np.array(
+                [
+                    j * A + k
+                    for j, al in enumerate(alive_lists)
+                    for k in range(len(al))
+                ],
+                dtype=np.int64,
+            )
+            flat_alive = [b for al in alive_lists for b in al]
+            penalized = self._penalize_rows(
+                flat_alive, logp3.reshape(L * A, V)[idx]
+            )
+            tops = np.argsort(-penalized, axis=1, kind="stable")[:, :beam]
             expanded: dict[int, tuple[list, list]] = {}
             jobs = []
+            pos = 0
             for j, i in enumerate(active):
                 st = states[i]
                 alive = alive_lists[j]
+                n = len(alive)
                 cand, pending = self._advance_expand(
-                    st["beams"], alive, logp3[j][: len(alive)],
-                    st["scorer"], beam
+                    st["beams"], alive, None, st["scorer"], beam,
+                    penalized=penalized[pos : pos + n],
+                    tops=tops[pos : pos + n],
                 )
+                pos += n
                 expanded[i] = (cand, pending)
                 if pending:
                     jobs.append(
