@@ -228,6 +228,51 @@ class OCR:
             )
         return results
 
+    def process_documents(
+        self, images: list, mode: str = "lines"
+    ) -> list[list[dict]]:
+        """Batch variant of ``process_document`` for table-scope kernels:
+        neural detection runs batched across same-shape pages
+        (TextDetector.detect_boxes_batch — bitwise the per-page path),
+        everything else is the per-page flow. Results per page equal
+        ``process_document``'s."""
+        if mode != "lines":
+            return [self.process_document(im, mode) for im in images]
+        grays = [self._load_gray(im) for im in images]
+        inks = [binarize(g) for g in grays]
+        raw_list = self.detector.detect_boxes_batch(grays)
+        out: list[list[dict]] = []
+        for gray, ink, raw in zip(grays, inks, raw_list):
+            if self.detector.method in ("db", "craft"):
+                from .operators.detect import (
+                    merge_boxes_into_rows,
+                    split_box_at_blank_rows,
+                )
+
+                boxes = [
+                    (int(b[0]), int(b[1]), int(b[2]), int(b[3]), float(row[4]))
+                    for row in merge_boxes_into_rows(raw)
+                    for b in split_box_at_blank_rows(ink, row)
+                ]
+            else:
+                boxes = raw
+            results = []
+            for i, box in enumerate(boxes, start=1):
+                text, conf = self._recognize_region(gray, ink, box)
+                results.append(
+                    {
+                        "box": [int(v) for v in box[:4]],
+                        "text": text,
+                        "confidence": float(conf),
+                        "det_confidence": (
+                            float(box[4]) if len(box) > 4 else 1.0
+                        ),
+                        "line_number": i,
+                    }
+                )
+            out.append(results)
+        return out
+
     def extract_text(self, image, mode: str = "lines") -> tuple[str, list[dict]]:
         """core.py:1104-1160: recognize then group results into text lines
         by vertical center with 0.8*max-height tolerance, words joined by

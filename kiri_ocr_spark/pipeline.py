@@ -165,7 +165,8 @@ def _ocr_batches_trained(
         _QUARANTINE = (ValueError, KeyError, IndexError, struct.error, zlib.error)
         model = get_model(path=model_path)
         if det_method == "legacy":
-            boxes_of = None
+            detector = None
+            normalize_boxes = None
         else:
             from .operators.facade import TextDetector
 
@@ -174,13 +175,17 @@ def _ocr_batches_trained(
             )
             detector = TextDetector(method=det_method, **det_kwargs)
 
-            def boxes_of(gray: np.ndarray) -> list[np.ndarray]:
-                ink = binarize(gray)
+            def normalize_boxes(
+                raw: np.ndarray, ink: np.ndarray
+            ) -> list[np.ndarray]:
+                """Detector boxes -> recognition-grade line crop boxes:
+                W3 row clustering + blank-row band split + ink-bounds
+                tighten (mirroring OCR._recognize_region)."""
                 out = []
-                for row in merge_boxes_into_rows(detector.detect_boxes(gray)):
+                for row in merge_boxes_into_rows(raw):
                     for b in split_box_at_blank_rows(ink, row):
                         # tighten to the ink bounds inside the (unclip-
-                        # padded) region, mirroring OCR._recognize_region
+                        # padded) region
                         x, y, w, h = (int(v) for v in b[:4])
                         sub = ink[y : y + h, x : x + w]
                         ys, xs = np.nonzero(sub)
@@ -207,6 +212,7 @@ def _ocr_batches_trained(
             crops: list[np.ndarray] = []
             owners: list[int] = []  # crop -> row index
             t_prev = time.monotonic()
+            pages: dict[int, tuple] = {}  # ri -> (gray, ink), neural path
             for ri, blob in enumerate(pdf["png_bytes"]):
                 # snapshot so a mid-page quarantine rolls back any crops
                 # already appended for this row — otherwise the decode
@@ -220,21 +226,25 @@ def _ocr_batches_trained(
                     # unfused invert_if_dark + detect_lines(gray) pair
                     # paid a second full Otsu here
                     gray, ink = orient_and_binarize(decode_gray(bytes(blob)))
-                    boxes = (
-                        detect_lines(gray, ink=ink)
-                        if boxes_of is None
-                        else boxes_of(gray)
-                    )
-                    for b in boxes:
-                        x, y, w, h = (int(v) for v in b[:4])
-                        crops.append(
-                            resize_keep_ratio_pad(
-                                pad_training_margins(gray[y : y + h, x : x + w])
+                    if detector is not None:
+                        # neural detection runs BATCHED below (the
+                        # per-page conv forwards were call-overhead);
+                        # this row only decodes and binarizes here
+                        pages[ri] = (gray, ink)
+                    else:
+                        boxes = detect_lines(gray, ink=ink)
+                        for b in boxes:
+                            x, y, w, h = (int(v) for v in b[:4])
+                            crops.append(
+                                resize_keep_ratio_pad(
+                                    pad_training_margins(
+                                        gray[y : y + h, x : x + w]
+                                    )
+                                )
                             )
-                        )
-                        owners.append(ri)
-                    nlines[ri] = len(boxes)
-                    texts[ri] = ""  # no-line page decodes to empty text
+                            owners.append(ri)
+                        nlines[ri] = len(boxes)
+                        texts[ri] = ""  # no-line page -> empty text
                 except _QUARANTINE:
                     del crops[n_crops_at_row_start:]
                     del owners[n_crops_at_row_start:]
@@ -242,6 +252,53 @@ def _ocr_batches_trained(
                 t_now = time.monotonic()
                 row_us[ri] = int((t_now - t_prev) * 1_000_000)
                 t_prev = t_now
+            if pages:
+                # batched neural detect over the batch's decodable pages
+                # (grouped by shape inside detect_boxes_batch, bitwise
+                # the per-page path); detect wall spreads over the owning
+                # rows' kernel time like the encode phase below
+                t0d = time.monotonic()
+                ris = list(pages)
+                try:
+                    raw_list = detector.detect_boxes_batch(
+                        [pages[ri][0] for ri in ris]
+                    )
+                except _QUARANTINE:
+                    # a pathological page must quarantine ITSELF, not the
+                    # batch: fall back to per-page detection
+                    raw_list = []
+                    for ri in ris:
+                        try:
+                            raw_list.append(
+                                detector.detect_boxes(pages[ri][0])
+                            )
+                        except _QUARANTINE:
+                            raw_list.append(None)
+                for ri, raw in zip(ris, raw_list):
+                    if raw is None:
+                        continue  # per-page fallback quarantined it
+                    gray, ink = pages[ri]
+                    n_crops_at_row_start = len(crops)
+                    try:
+                        boxes = normalize_boxes(raw, ink)
+                        for b in boxes:
+                            x, y, w, h = (int(v) for v in b[:4])
+                            crops.append(
+                                resize_keep_ratio_pad(
+                                    pad_training_margins(
+                                        gray[y : y + h, x : x + w]
+                                    )
+                                )
+                            )
+                            owners.append(ri)
+                        nlines[ri] = len(boxes)
+                        texts[ri] = ""
+                    except _QUARANTINE:
+                        del crops[n_crops_at_row_start:]
+                        del owners[n_crops_at_row_start:]
+                per = int((time.monotonic() - t0d) * 1_000_000 / len(ris))
+                for ri in ris:
+                    row_us[ri] += per
             # one stacked forward per chunk, sized by ENCODE_CHUNK (the
             # cache-bound optimum — see its definition in operators/model).
             # fp32: the reference's inference dtype (torch/ONNX float32),

@@ -2985,10 +2985,14 @@ def _ocr_document_lines(det_method: str):
             if not len(pdf):
                 continue
             refs, line_nos, texts = [], [], []
-            for ref, blob in zip(pdf["media_ref"], pdf["png_bytes"]):
-                for i, r in enumerate(
-                    ocr.process_document(decode_gray(bytes(blob)))
-                ):
+            pages = [decode_gray(bytes(b)) for b in pdf["png_bytes"]]
+            # batched process_documents: neural detection groups
+            # same-shape pages into one conv forward (bitwise the
+            # per-page process_document results)
+            for ref, results in zip(
+                pdf["media_ref"], ocr.process_documents(pages)
+            ):
+                for i, r in enumerate(results):
                     refs.append(ref)
                     line_nos.append(i)
                     texts.append(r["text"])
