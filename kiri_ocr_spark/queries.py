@@ -205,9 +205,10 @@ def _facade_detect_batches(method: str):
         resolved = det.method == method  # default numpy forward resolved
         for pdf in batches:
             refs, heights, found, on_ink, conf_ok = [], [], [], [], []
-            for ref, blob in zip(pdf["media_ref"], pdf["png_bytes"]):
-                gray = decode_gray(bytes(blob))
-                boxes = det.detect_boxes(gray)
+            grays = [decode_gray(bytes(b)) for b in pdf["png_bytes"]]
+            # batched neural detection (bitwise the per-page path)
+            boxes_list = det.detect_boxes_batch(grays)
+            for ref, gray, boxes in zip(pdf["media_ref"], grays, boxes_list):
                 ink = binarize(invert_if_dark(gray)) > 0
                 all_on = resolved and len(boxes) > 0
                 c_ok = resolved and len(boxes) > 0
