@@ -167,18 +167,34 @@ def nms(boxes: np.ndarray, iou_threshold: float = 0.5) -> np.ndarray:
     x2 = boxes[:, 0] + boxes[:, 2]
     y2 = boxes[:, 1] + boxes[:, 3]
     areas = boxes[:, 2] * boxes[:, 3]
+    # incremental kept-coordinate buffers: the former per-candidate
+    # np.array(kept) + five fancy gathers were O(n^2) allocation churn;
+    # buf[:m] holds the SAME values in the SAME insertion order, so the
+    # per-element IoU arithmetic and suppress decisions are bit-equal
+    n = len(boxes)
+    kx1 = np.empty(n)
+    ky1 = np.empty(n)
+    kx2 = np.empty(n)
+    ky2 = np.empty(n)
+    ka = np.empty(n)
     kept: list[int] = []
-    for idx in order:
-        if kept:
-            k = np.array(kept, dtype=np.int64)
-            ix = np.minimum(x2[idx], x2[k]) - np.maximum(x1[idx], x1[k])
-            iy = np.minimum(y2[idx], y2[k]) - np.maximum(y1[idx], y1[k])
+    m = 0
+    for idx in order.tolist():
+        if m:
+            ix = np.minimum(x2[idx], kx2[:m]) - np.maximum(x1[idx], kx1[:m])
+            iy = np.minimum(y2[idx], ky2[:m]) - np.maximum(y1[idx], ky1[:m])
             inter = np.maximum(ix, 0.0) * np.maximum(iy, 0.0)
-            union_area = areas[idx] + areas[k] - inter
+            union_area = areas[idx] + ka[:m] - inter
             ious = np.where(union_area > 0, inter / np.maximum(union_area, 1e-300), 0.0)
             if (ious > iou_threshold).any():
                 continue
-        kept.append(int(idx))
+        kx1[m] = x1[idx]
+        ky1[m] = y1[idx]
+        kx2[m] = x2[idx]
+        ky2[m] = y2[idx]
+        ka[m] = areas[idx]
+        kept.append(idx)
+        m += 1
     return boxes[np.array(sorted(kept), dtype=np.int64)]
 
 

@@ -52,11 +52,15 @@ def _solidity_filter(mask: np.ndarray, stats: np.ndarray) -> np.ndarray:
     return np.array(keep, dtype=bool)
 
 
-def _first_match_streaks(stats: np.ndarray, prev: np.ndarray, streak: np.ndarray) -> np.ndarray:
-    """Per cur row, the streak of the FIRST prev row (prev order) with
-    IoU>0.8, else 0 — the vectorized form of the scalar first-match scan."""
+def _first_match_pairs(
+    stats: np.ndarray, prev: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(has_match, first_prev_index) per cur row for IoU>0.8 vs prev —
+    the streak-independent part of the first-match scan, cacheable when
+    (stats, prev) repeat across skipped MSER levels."""
     if len(stats) == 0 or len(prev) == 0:
-        return np.zeros(len(stats), dtype=np.int64)
+        z = np.zeros(len(stats), dtype=np.int64)
+        return np.zeros(len(stats), dtype=bool), z
     cx1, cy1 = stats[:, 0:1], stats[:, 1:2]
     cx2, cy2 = cx1 + stats[:, 2:3], cy1 + stats[:, 3:4]
     px1, py1 = prev[:, 0], prev[:, 1]
@@ -66,8 +70,16 @@ def _first_match_streaks(stats: np.ndarray, prev: np.ndarray, streak: np.ndarray
     inter = ix * iy
     union = stats[:, 2:3] * stats[:, 3:4] + prev[:, 2] * prev[:, 3] - inter
     hit = np.where(union > 0, inter / np.maximum(union, 1e-300), 0.0) > 0.8
-    first = hit.argmax(axis=1)
-    return np.where(hit.any(axis=1), streak[first], 0)
+    return hit.any(axis=1), hit.argmax(axis=1)
+
+
+def _first_match_streaks(stats: np.ndarray, prev: np.ndarray, streak: np.ndarray) -> np.ndarray:
+    """Per cur row, the streak of the FIRST prev row (prev order) with
+    IoU>0.8, else 0 — the vectorized form of the scalar first-match scan."""
+    if len(stats) == 0 or len(prev) == 0:
+        return np.zeros(len(stats), dtype=np.int64)
+    has, first = _first_match_pairs(stats, prev)
+    return np.where(has, streak[first], 0)
 
 
 def mser_regions(gray: np.ndarray) -> np.ndarray:
@@ -88,15 +100,26 @@ def mser_regions(gray: np.ndarray) -> np.ndarray:
         prev = np.zeros((0, 5))
         streak = np.zeros(0, dtype=np.int64)
         prev_t = None
+        self_match = None  # cached (has, first) of the CURRENT prev array
         for t in range(30, 226, MSER_DELTA):
             if prev_t is not None and csum[t] == csum[prev_t]:
                 # identical mask -> identical stats: skip the CC/solidity
                 # recompute but keep the SAME first-match scan (a row's
                 # first >0.8 match may be an earlier overlapping row, not
-                # itself)
+                # itself). Consecutive skipped levels see the IDENTICAL
+                # (prev, prev) IoU matrix — compute it once per prev and
+                # reuse (only `streak` changes between skipped levels)
                 stats = prev
-                cur_streak = _first_match_streaks(stats, prev, streak) + 1
+                if self_match is None:
+                    self_match = _first_match_pairs(prev, prev)
+                has, first = self_match
+                cur_streak = (
+                    np.where(has, streak[first], 0)
+                    if len(prev)
+                    else np.zeros(0, dtype=np.int64)
+                ) + 1
             else:
+                self_match = None
                 mask = polarity <= t
                 stats = _stats_with_conf(mask, 0.6)
                 ok = (
