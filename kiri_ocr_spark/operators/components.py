@@ -114,7 +114,9 @@ def connected_components(binary: np.ndarray, connectivity: int = 8) -> np.ndarra
     uniq = np.unique(roots[1:])
     remap = np.zeros(next_label, dtype=np.int32)
     remap[uniq] = np.arange(1, len(uniq) + 1, dtype=np.int32)
-    return remap[roots[labels]]
+    # compose the two lookup tables first: one full-image gather
+    # instead of two (remap[roots[labels]] == (remap[roots])[labels])
+    return remap[roots][labels]
 
 
 def component_stats(labels: np.ndarray) -> np.ndarray:
