@@ -1222,11 +1222,22 @@ def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _staged(
         spark, sf_dir, "lsh_pairs", lambda: q_minhash_pairs(spark, sf_dir)
     )
+    # the staged checkpoint lands in ~1 partition and it is the STREAM
+    # side of the broadcast joins below, so without this the whole
+    # CPU-heavy verify ran as ONE task (plan-verified); an explicit
+    # numbered repartition of the slim key pairs spreads it and AQE
+    # leaves user-numbered repartitions alone
+    nparts = 2 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    pairs = pairs.repartition(nparts, "a")
     corpus = _near_dup_corpus(spark, sf_dir)  # shingles already materialized
     a = corpus.select(F.col("doc_id").alias("a"), F.col("hs").alias("sh_a"))
     b = corpus.select(F.col("doc_id").alias("b"), F.col("hs").alias("sh_b"))
     joined = pairs.join(a, "a").join(b, "b")
-    nn = _jaccard_counts_udf("sh_a", "sh_b")
+    # asNondeterministic stops the optimizer from duplicating the Arrow
+    # kernel around the pushed-down jac filter (guide §4.4: the plan
+    # carried TWO ArrowEvalPython nodes — every pair paid the set ops
+    # twice); the function itself is pure
+    nn = _jaccard_counts_udf.asNondeterministic()("sh_a", "sh_b")
     jac = F.round(F.col("nn.ni") / F.col("nn.nu"), 6)
     return (
         joined.select("a", "b", nn.alias("nn"))
